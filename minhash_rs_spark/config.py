@@ -1,0 +1,101 @@
+"""Pipeline configuration.
+
+Mirrors the reference's YAML config surface so configs translate 1:1
+(reference: /root/reference/src/main.rs:254-289 `Config`), plus the
+Spark-native knobs called for by the north rule (jaccard verification,
+salting, checkpointing, alternative dedup methods).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """Configuration for the fuzzy-dedup pipeline.
+
+    Reference-key mapping (/root/reference/src/main.rs:254-289 and
+    examples/simple_exact/config.yaml):
+        num_bands      -> num_bands
+        band_size      -> band_size
+        ngram_size     -> ngram_size
+        tokenizer_str  -> tokenizer ("words" ~ uniseg word-bounds,
+                          "bytes" ~ default byte tokens, "p50k"/"cl100k"
+                          gated on tiktoken availability)
+        hash_seed      -> hash_seed (band-seed expansion root,
+                          ref src/main.rs:441-444)
+        content_key    -> text_col
+        concat_key     -> conv_col + order_col (grouped lines ==
+                          conversation turns, ref src/main.rs:506-516)
+        annotate_only  -> annotate_only
+        exact_override -> exact_override (one doc-level hash replicated
+                          to all perms, ref src/main.rs:522-533)
+    New (Spark-native / north rule):
+        jaccard_threshold  exact-Jaccard verification of LSH candidate
+                           pairs before union (promotes the reference's
+                           offline true-jacc, src/main.rs:1573-1677,
+                           into the pipeline). None disables
+                           verification = reference-parity clustering.
+        salt_buckets       salt factor for hot-LSH-band aggregation.
+        checkpoint_dir     per-stage checkpoint tables + manifest
+                           (Spark analog of the reference's phase files,
+                           src/main.rs:411-429 + python/orchestration.py).
+        max_shingles_per_doc  cap on stored shingle-set size used for
+                           verification joins (scale guard; None = all).
+    """
+
+    num_bands: int = 14
+    band_size: int = 8
+    ngram_size: int = 5
+    tokenizer: str = "words"
+    hash_seed: int = 0
+    exact_override: bool = False
+    annotate_only: bool = True
+
+    # table binding (input_hint schema)
+    conv_col: str = "conv_id"
+    order_col: str = "turn_idx"
+    text_col: str = "text"
+
+    # Spark-native additions
+    jaccard_threshold: Optional[float] = None
+    salt_buckets: int = 16
+    checkpoint_dir: Optional[str] = None
+    max_shingles_per_doc: Optional[int] = None
+
+    # dup-aware subsample (ref: src/dup_aware_subsample.rs:142-160)
+    subsample_rate: float = 1.0
+    max_cc_size: Optional[int] = None
+    subsample_seed: int = 0
+
+    @property
+    def num_perms(self) -> int:
+        return self.num_bands * self.band_size
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "MinHashConfig":
+        """Load a reference-style YAML config (best-effort key mapping)."""
+        import yaml  # stdlib-adjacent; gated — see except below
+
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        return cls.from_reference_dict(raw)
+
+    @classmethod
+    def from_reference_dict(cls, raw: dict) -> "MinHashConfig":
+        tok = raw.get("tokenizer_str", "words")
+        tok_map = {"uniseg": "words", "": "bytes"}
+        return cls(
+            num_bands=raw.get("num_bands", 14),
+            band_size=raw.get("band_size", 8),
+            ngram_size=raw.get("ngram_size", 5),
+            tokenizer=tok_map.get(tok, tok),
+            hash_seed=raw.get("hash_seed", 0),
+            exact_override=raw.get("exact_override", False),
+            annotate_only=raw.get("annotate_only", True),
+        )

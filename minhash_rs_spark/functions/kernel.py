@@ -1,0 +1,163 @@
+"""The MinHash signature kernel: clean -> tokenize -> shingle -> minhash
+-> band signatures, numpy-vectorized over batches of documents.
+
+This is the single compute-dense component of the engine. It runs inside
+Arrow-batched pandas UDFs (see functions/udfs.py) — no per-row Python in
+the hot path beyond tokenization itself, and all hashing/permutation
+math is vectorized across the concatenated shingles of a whole batch
+(np.minimum.reduceat over document boundaries).
+
+Semantics mirror the reference phase-2 `process_path`
+(/root/reference/src/main.rs:489-679); divergences are deliberate and
+documented in functions/hashing.py and SURVEY.md §7.4.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from minhash_rs_spark.functions import hashing as H
+
+U64 = np.uint64
+
+# SlimPajama cleaning (ref: clean_text /root/reference/src/main.rs:598-614)
+_PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+_PUNCT_TABLE = str.maketrans("", "", _PUNCT)
+_WS_RE = re.compile(r"\s+")
+
+
+def clean_text(text: str) -> str:
+    """Lowercase -> strip ASCII punctuation -> collapse whitespace -> trim."""
+    t = text.lower().translate(_PUNCT_TABLE)
+    return _WS_RE.sub(" ", t).strip()
+
+
+def tokenize(cleaned: str, mode: str, cache: dict | None = None) -> np.ndarray:
+    """Token-hash sequence (u64) for cleaned text.
+
+    Modes (ref: OmniTokenizer /root/reference/src/main.rs:327-366):
+      words  — whitespace-delimited words, each stably hashed
+               (analog of uniseg word-bounds + SipHash; divergence: we do
+               not emit whitespace segments as tokens)
+      bytes  — raw UTF-8 byte values as token ids (reference default arm)
+      p50k / cl100k — tiktoken BPE, gated on availability
+    """
+    if mode == "words":
+        if not cleaned:
+            return np.empty(0, dtype=U64)
+        toks = cleaned.split(" ")
+        if cache is None:
+            return np.fromiter((H.stable_str_hash(w) for w in toks), dtype=U64, count=len(toks))
+        out = np.empty(len(toks), dtype=U64)
+        for i, w in enumerate(toks):
+            h = cache.get(w)
+            if h is None:
+                h = H.stable_str_hash(w)
+                cache[w] = h
+            out[i] = h
+        return out
+    if mode == "bytes":
+        return np.frombuffer(cleaned.encode("utf-8"), dtype=np.uint8).astype(U64)
+    if mode in ("p50k", "cl100k"):
+        try:
+            import tiktoken  # noqa: F401
+        except ImportError as e:  # pragma: no cover - not in this container
+            raise NotImplementedError(
+                f"tokenizer {mode!r} requires the public `tiktoken` package, "
+                "which is not installed in this environment"
+            ) from e
+        enc = tiktoken.get_encoding("p50k_base" if mode == "p50k" else "cl100k_base")
+        return np.asarray(enc.encode(cleaned, disallowed_special=()), dtype=U64)
+    raise ValueError(f"unknown tokenizer mode {mode!r}")
+
+
+def doc_shingles(text: str, ngram_size: int, mode: str = "words",
+                 cache: dict | None = None) -> np.ndarray:
+    """Unique, sorted u64 shingle ids for one document.
+
+    Uniqueness does not change MinHash (min over a set) and is exactly
+    what exact-Jaccard verification needs (ref set-variant:
+    /root/reference/src/main.rs:563-576).
+    """
+    toks = tokenize(clean_text(text), mode, cache)
+    return np.unique(H.rolling_poly_hashes(toks, ngram_size))
+
+
+@dataclass
+class SignatureKernel:
+    """Precomputed permutation state + batch signature computation."""
+
+    num_bands: int = 14
+    band_size: int = 8
+    ngram_size: int = 5
+    tokenizer: str = "words"
+    hash_seed: int = 0
+    exact_override: bool = False
+
+    def __post_init__(self):
+        band_seeds = H.expand_band_seeds(self.hash_seed, self.num_bands)
+        perm_seeds = H.expand_perm_seeds(band_seeds, self.band_size)
+        self.a_hi, self.a_lo = H.init_permutations(perm_seeds)
+        self.num_perms = self.num_bands * self.band_size
+
+    # ---- shingling ----
+
+    def shingles_batch(self, texts) -> list[np.ndarray]:
+        cache: dict = {}
+        return [doc_shingles(t if t is not None else "", self.ngram_size,
+                             self.tokenizer, cache) for t in texts]
+
+    # ---- minhash ----
+
+    def minhash_from_shingles(self, shingle_arrays: list[np.ndarray]) -> np.ndarray:
+        """(num_docs, num_perms) u64 minhash matrix.
+
+        Flattens all docs' shingles and computes each permutation over the
+        whole batch at once; per-doc minima via np.minimum.reduceat
+        (vectorized analog of ref src/main.rs:664-677).
+        """
+        ndocs = len(shingle_arrays)
+        hv = np.full((ndocs, self.num_perms), H.MAX_HASH, dtype=U64)
+        if ndocs == 0:
+            return hv
+        lens = np.array([len(a) for a in shingle_arrays], dtype=np.int64)
+        # every doc has >=1 shingle (short-doc fallback in rolling_poly_hashes)
+        assert (lens > 0).all(), "doc with zero shingles — fallback violated"
+        flat = np.concatenate(shingle_arrays) if ndocs > 1 else shingle_arrays[0]
+        starts = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        h_hi, h_lo = H.shingle_u128(flat)
+        for p in range(self.num_perms):
+            v = H.perm_hash_top64(self.a_hi[p], self.a_lo[p], h_hi, h_lo)
+            hv[:, p] = np.minimum.reduceat(v, starts)
+        return hv
+
+    def signatures_from_shingles(self, shingle_arrays: list[np.ndarray]
+                                 ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc per-band 128-bit LSH keys: (hi, lo) each (num_docs, num_bands)."""
+        hv = self.minhash_from_shingles(shingle_arrays)
+        return H.band_signatures(hv, self.num_bands, self.band_size)
+
+    def signatures_for_texts(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        if self.exact_override:
+            # one whole-doc hash replicated to all perms -> all bands carry
+            # the same exact-text identity (ref: src/main.rs:522-533)
+            doc_h = np.fromiter(
+                (H.stable_str_hash(clean_text(t if t is not None else ""))
+                 for t in texts), dtype=U64, count=len(texts))
+            hv = np.repeat(doc_h[:, None], self.num_perms, axis=1)
+            return H.band_signatures(hv, self.num_bands, self.band_size)
+        return self.signatures_from_shingles(self.shingles_batch(texts))
+
+
+def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique u64 shingle arrays
+    (ref: jaccard_similarity /root/reference/src/main.rs:1673-1677)."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0

@@ -1,0 +1,172 @@
+"""Arrow-batched Spark UDFs wrapping the numpy kernel.
+
+Exactly the UDF surface SURVEY.md §2.7 calls for — vectorized
+mapInPandas / pandas_udf only, no per-row Python:
+
+  shingle_sets(...)        text -> sorted-unique u64 shingle ids (P1-P3)
+  band_signature_rows(...) shingles -> exploded (band_id, sig_hi, sig_lo)
+                           rows (H1-H5), explosion done batch-side in
+                           numpy (np.repeat/tile), not via Spark explode
+  jaccard_udf              exact Jaccard of two shingle arrays (J6)
+  simhash_udf              64-bit SimHash of a shingle array (north rule)
+
+u64 <-> int64: Spark LongType is signed; we reinterpret bits with
+ndarray.view / .astype copies — values round-trip exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from minhash_rs_spark.config import MinHashConfig
+from minhash_rs_spark.functions.kernel import SignatureKernel, jaccard_u64
+
+SHINGLES_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("shingles", T.ArrayType(T.LongType(), False), False),
+    T.StructField("n_shingles", T.IntegerType(), False),
+])
+
+SIG_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("band_id", T.IntegerType(), False),
+    T.StructField("sig_hi", T.LongType(), False),
+    T.StructField("sig_lo", T.LongType(), False),
+])
+
+
+def _kernel(cfg: MinHashConfig) -> SignatureKernel:
+    return SignatureKernel(
+        num_bands=cfg.num_bands, band_size=cfg.band_size,
+        ngram_size=cfg.ngram_size, tokenizer=cfg.tokenizer,
+        hash_seed=cfg.hash_seed, exact_override=cfg.exact_override)
+
+
+def shingle_sets(docs: DataFrame, cfg: MinHashConfig,
+                 text_col: str = "doc_text") -> DataFrame:
+    """(conv_id, doc_text) -> (conv_id, shingles array<long>, n_shingles).
+
+    Computed ONCE per document and reused by both the signature stage and
+    the exact-Jaccard verification stage (the reference re-tokenizes in
+    its true-jacc pass, src/main.rs:563-576 — we don't).
+    """
+    cap = cfg.max_shingles_per_doc
+    kernel_cfg = cfg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _kernel(kernel_cfg)
+        for pdf in batches:
+            arrs = kernel.shingles_batch(pdf[text_col].tolist())
+            if cap is not None:
+                # scale guard: keep the `cap` smallest shingle ids — a
+                # deterministic subset, so pairwise Jaccard stays a
+                # consistent estimator across docs
+                arrs = [a[:cap] for a in arrs]
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].values,
+                "shingles": [a.view(np.int64) for a in arrs],
+                "n_shingles": np.array([len(a) for a in arrs], dtype=np.int32),
+            })
+
+    return docs.select("conv_id", text_col).mapInPandas(fn, SHINGLES_SCHEMA)
+
+
+def band_signature_rows(shingles_df: DataFrame, cfg: MinHashConfig) -> DataFrame:
+    """(conv_id, shingles) -> one row per (doc, band): the LSH keys.
+
+    Explosion to num_bands rows/doc happens inside the Arrow batch with
+    np.repeat — Spark never materializes the intermediate array column.
+    (ref phase 2 output layout: src/main.rs:411-429, 695-702)
+    """
+    kernel_cfg = cfg
+    nb = cfg.num_bands
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _kernel(kernel_cfg)
+        band_ids = np.arange(nb, dtype=np.int32)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            arrs = [np.asarray(a, dtype=np.int64).view(np.uint64)
+                    for a in pdf["shingles"]]
+            hi, lo = kernel.signatures_from_shingles(arrs)
+            yield pd.DataFrame({
+                "conv_id": np.repeat(pdf["conv_id"].values, nb),
+                "band_id": np.tile(band_ids, n),
+                "sig_hi": hi.reshape(-1).view(np.int64),
+                "sig_lo": lo.reshape(-1).view(np.int64),
+            })
+
+    return shingles_df.select("conv_id", "shingles").mapInPandas(fn, SIG_SCHEMA)
+
+
+def band_signature_rows_exact(docs: DataFrame, cfg: MinHashConfig,
+                              text_col: str = "doc_text") -> DataFrame:
+    """exact_override mode: signatures straight from text
+    (ref: src/main.rs:522-533) — skips shingling entirely."""
+    kernel_cfg = cfg
+    nb = cfg.num_bands
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _kernel(kernel_cfg)
+        band_ids = np.arange(nb, dtype=np.int32)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            hi, lo = kernel.signatures_for_texts(pdf[text_col].tolist())
+            yield pd.DataFrame({
+                "conv_id": np.repeat(pdf["conv_id"].values, nb),
+                "band_id": np.tile(band_ids, n),
+                "sig_hi": hi.reshape(-1).view(np.int64),
+                "sig_lo": lo.reshape(-1).view(np.int64),
+            })
+
+    return docs.select("conv_id", text_col).mapInPandas(fn, SIG_SCHEMA)
+
+
+@pandas_udf(T.DoubleType())
+def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact Jaccard over two array<long> shingle columns
+    (ref: jaccard_similarity src/main.rs:1673-1677)."""
+    out = np.empty(len(a), dtype=np.float64)
+    for i in range(len(a)):
+        out[i] = jaccard_u64(np.asarray(a.iloc[i], dtype=np.int64).view(np.uint64),
+                             np.asarray(b.iloc[i], dtype=np.int64).view(np.uint64))
+    return pd.Series(out)
+
+
+@pandas_udf(T.LongType())
+def simhash_udf(shingles: pd.Series) -> pd.Series:
+    """64-bit SimHash from a shingle-id array: per-bit majority vote of
+    the (already uniformly mixed) shingle hashes. North-rule addition —
+    no reference counterpart."""
+    out = np.empty(len(shingles), dtype=np.int64)
+    for i in range(len(shingles)):
+        s = np.asarray(shingles.iloc[i], dtype=np.int64).view(np.uint64)
+        if len(s) == 0:
+            out[i] = 0
+            continue
+        bits = np.unpackbits(s.view(np.uint8)).reshape(len(s), 64)
+        votes = bits.sum(axis=0) * 2 >= len(s)  # >= : ties set the bit
+        out[i] = np.packbits(votes.astype(np.uint8)).view(np.int64)[0]
+    return pd.Series(out)
+
+
+def cosine_expr(a, b):
+    """JVM-side cosine similarity between two array<float/double> columns —
+    F.zip_with dot product + F.aggregate norms; no Python."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)

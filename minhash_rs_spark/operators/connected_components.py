@@ -1,0 +1,80 @@
+"""C1-C4 — distributed connected components.
+
+Replaces the reference's single-node lock-free union-find
+(/root/reference/src/uf_rush2.rs:20-216 — the scaling bottleneck its own
+design notes flag, src/main.rs:108-113) with the alternating
+large-star / small-star algorithm of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SOCC'14): O(log n) rounds of
+pure DataFrame groupBy+join, each round localCheckpoint'ed to cut
+lineage (SURVEY §7.4 "CC convergence bookkeeping").
+
+Node ids are opaque strings (conv_id). cc_id = min(member) —
+lexicographic min — giving the deterministic labeling the reference
+lacks (its DashMap order is arbitrary, src/main.rs:1175-1191).
+
+Invariant maintained throughout: every edge is oriented (src > dst).
+star_edges() emits that orientation and both star operations preserve it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: attach every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m")))
+    return (sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u over its smaller neighbors N: attach u and all of N
+    to m = min(N)."""
+    oriented = edges.select(F.greatest("src", "dst").alias("u"),
+                            F.least("src", "dst").alias("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    attach_neighbors = (oriented.join(mins, "u")
+                        .where(F.col("v") != F.col("m"))
+                        .select(F.col("v").alias("src"), F.col("m").alias("dst")))
+    attach_center = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return attach_neighbors.union(attach_center).distinct()
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    """Cheap order-insensitive fingerprint of an edge set: (count, bit_xor
+    of row hashes). bit_xor keeps everything in long without ANSI-mode
+    overflow."""
+    row = edges.select(
+        F.count(F.lit(1)).alias("c"),
+        F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+    ).first()
+    return (row["c"] or 0, row["x"] or 0)
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """edges (src, dst) -> assignments (conv_id, cc_id), covering every
+    node that appears in at least one edge. Singletons are the caller's
+    coalesce (C3: ref src/main.rs:1089-1099 becomes a left join,
+    pipeline.py)."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+    members = e.select(F.col("src").alias("conv_id"), F.col("dst").alias("cc_id"))
+    roots = e.select(F.col("dst").alias("conv_id"), F.col("dst").alias("cc_id"))
+    return members.union(roots).distinct()

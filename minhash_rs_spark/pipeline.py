@@ -1,0 +1,133 @@
+"""End-to-end fuzzy-dedup pipeline — the Spark re-expression of the
+reference's `min-hash` entry point (/root/reference/src/main.rs:1684-1701,
+lifecycle in SURVEY.md §3.1).
+
+Stage graph (each optionally checkpointed + manifested, SURVEY §7.5):
+
+  turns ──assemble(G1)──► docs(conv_id, doc_text)
+        ──shingle(P1-P3)──► shingles(conv_id, array<long>)      [UDF 1]
+        ──minhash+band(H1-H5)──► sigs(conv_id, band_id, sig)    [UDF 2]
+        ──LSH bucket(G2) + star edges(J1)──► edges(src, dst)
+        ──exact-Jaccard verify(J6, optional)──► verified edges  [UDF 3]
+        ──large-star/small-star CC(C1-C4)──► cc(conv_id, cc_id)
+        ──stats(G5/G8) + singletons(C3)──► assignments
+        ──annotate(J3) | prune(J2/G7)──► output turns table
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minhash_rs_spark.config import MinHashConfig
+from minhash_rs_spark.functions.udfs import (
+    band_signature_rows,
+    band_signature_rows_exact,
+    shingle_sets,
+)
+from minhash_rs_spark.io.checkpoint import CheckpointManager
+from minhash_rs_spark.operators.annotate import (
+    annotate_turns,
+    cluster_assignments,
+    prune_turns,
+)
+from minhash_rs_spark.operators.connected_components import connected_components
+from minhash_rs_spark.operators.doc_assembly import assemble_documents
+from minhash_rs_spark.operators.lsh import star_edges
+from minhash_rs_spark.operators.verify import verified_edges
+
+
+@dataclass
+class PipelineResult:
+    """Handles to every stage output (all lazy unless checkpointed)."""
+    docs: DataFrame
+    shingles: DataFrame | None
+    edges: DataFrame
+    assignments: DataFrame
+    output: DataFrame
+    config: MinHashConfig
+    stats: dict = field(default_factory=dict)
+
+    def collect_stats(self) -> dict:
+        """Run counters (G9, ref src/main.rs:1365-1385): docs seen /
+        removed / surviving + removal rate."""
+        n_docs = self.assignments.count()
+        n_clusters = self.assignments.select("cc_id").distinct().count()
+        removed = n_docs - n_clusters
+        self.stats.update({
+            "documents": n_docs,
+            "clusters": n_clusters,
+            "removed": removed,
+            "removal_rate": removed / n_docs if n_docs else 0.0,
+        })
+        return self.stats
+
+
+def config_fingerprint(cfg: MinHashConfig, input_token: str = "") -> str:
+    blob = json.dumps({**cfg.to_dict(), "input": input_token}, sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def run_minhash(spark: SparkSession, turns: DataFrame,
+                cfg: MinHashConfig | None = None,
+                input_token: str = "") -> PipelineResult:
+    cfg = cfg or MinHashConfig()
+    ckpt = CheckpointManager(spark, cfg.checkpoint_dir,
+                             config_fingerprint(cfg, input_token))
+
+    docs = ckpt.stage("docs", lambda: assemble_documents(
+        turns, cfg.conv_col, cfg.order_col, cfg.text_col))
+
+    if cfg.exact_override:
+        shingles = None
+        sigs = band_signature_rows_exact(docs, cfg)
+    else:
+        shingles = ckpt.stage("shingles", lambda: shingle_sets(docs, cfg))
+        sigs = band_signature_rows(shingles, cfg)
+
+    edges = ckpt.stage("edges", lambda: star_edges(sigs))
+
+    if cfg.jaccard_threshold is not None and shingles is not None:
+        edges = ckpt.stage("verified_edges", lambda: verified_edges(
+            edges, shingles, cfg.jaccard_threshold))
+
+    cc = ckpt.stage("cc", lambda: connected_components(edges))
+    assignments = ckpt.stage("assignments",
+                             lambda: cluster_assignments(docs, cc))
+
+    if cfg.annotate_only:
+        output = annotate_turns(turns, assignments, cfg.conv_col)
+    else:
+        output = prune_turns(turns, assignments, cfg.conv_col)
+
+    return PipelineResult(docs=docs, shingles=shingles, edges=edges,
+                          assignments=assignments, output=output, config=cfg)
+
+
+def run_exact_dedup(spark: SparkSession, turns: DataFrame,
+                    cfg: MinHashConfig | None = None,
+                    input_token: str = "") -> PipelineResult:
+    """The reference's `exact-dedup` entry point (src/exact_dedup.rs) on
+    assembled conversation documents: one shuffle on the text value."""
+    from minhash_rs_spark.operators.exact_dedup import exact_cc
+
+    cfg = cfg or MinHashConfig()
+    ckpt = CheckpointManager(spark, cfg.checkpoint_dir,
+                             config_fingerprint(cfg, "exact:" + input_token))
+    docs = ckpt.stage("docs", lambda: assemble_documents(
+        turns, cfg.conv_col, cfg.order_col, cfg.text_col))
+    cc = ckpt.stage("exact_cc", lambda: exact_cc(docs))
+    assignments = ckpt.stage("exact_assignments",
+                             lambda: cluster_assignments(docs, cc))
+    output = (annotate_turns(turns, assignments, cfg.conv_col, "exact_dedup")
+              if cfg.annotate_only else
+              prune_turns(turns, assignments, cfg.conv_col))
+    # edges for exact mode: member -> rep (not materialized separately)
+    edges = assignments.where(F.col("cc_idx") > 0).select(
+        F.col("conv_id").alias("src"), F.col("cc_id").alias("dst"))
+    return PipelineResult(docs=docs, shingles=None, edges=edges,
+                          assignments=assignments, output=output, config=cfg)
