@@ -138,8 +138,8 @@ def q_quality_stats(spark, sf_dir):
     return out.select("doc_id",
                       F.col("n_chars_q").cast("long").alias("n_chars_q"),
                       F.col("n_tokens").cast("long").alias("n_tokens"),
-                      "space_ratio", "digit_ratio", "stopword_density",
-                      "quality_score")
+                      "space_ratio_e6", "digit_ratio_e6",
+                      "stopword_density_e6", "quality_score_e6")
 
 
 def q_lang_guess(spark, sf_dir):
@@ -373,24 +373,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_stats": f"""
             SELECT doc_id,
-                   CAST(n AS BIGINT) AS n_chars_q,
-                   CAST(n_tokens AS BIGINT) AS n_tokens,
-                   round(n_spaces / greatest(n, 1), 6) AS space_ratio,
-                   round(n_digits / greatest(n, 1), 6) AS digit_ratio,
-                   round(stop_hits / greatest(n_tokens, 1), 6) AS stopword_density,
-                   round(least(1.0, n / 500.0) * 0.4
-                         + (1.0 - round(n_digits / greatest(n, 1), 6)) * 0.3
-                         + least(1.0, round(stop_hits / greatest(n_tokens, 1), 6) * 5.0) * 0.3,
-                         6) AS quality_score
+                   n AS n_chars_q,
+                   n_tokens,
+                   (n_spaces*1000000) // greatest(n,1) AS space_ratio_e6,
+                   (n_digits*1000000) // greatest(n,1) AS digit_ratio_e6,
+                   (stop_hits*1000000) // greatest(n_tokens,1) AS stopword_density_e6,
+                   (least(1000000, n*2000)*4) // 10
+                   + ((1000000 - (n_digits*1000000) // greatest(n,1))*3) // 10
+                   + (least(1000000, ((stop_hits*1000000) // greatest(n_tokens,1))*5)*3) // 10
+                     AS quality_score_e6
             FROM (
               SELECT doc_id,
-                     CAST(length(coalesce(text,'')) AS DOUBLE) AS n,
+                     CAST(length(coalesce(text,'')) AS BIGINT) AS n,
                      CAST(length(coalesce(text,''))
-                          - length(replace(coalesce(text,''), ' ', '')) AS DOUBLE) AS n_spaces,
+                          - length(replace(coalesce(text,''), ' ', '')) AS BIGINT) AS n_spaces,
                      CAST(length(coalesce(text,''))
-                          - length(regexp_replace(coalesce(text,''), '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
-                     CAST({stop_hits} AS DOUBLE) AS stop_hits,
-                     CAST(len({_TOKENS}) AS DOUBLE) AS n_tokens
+                          - length(regexp_replace(coalesce(text,''), '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                     CAST({stop_hits} AS BIGINT) AS stop_hits,
+                     CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
               FROM documents)
         """,
         "lang_guess": _lang_sql(),

@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns": N,
+   "turns_per_sec": ...}
+
+The flagship number is the full MinHash fuzzy-dedup pipeline
+(assemble -> shingle -> minhash -> LSH -> CC -> assignments) over the
+transcripts synthesized from the documents table; turns_per_sec is the
+BASELINE.md throughput metric. tools/scaling_bench.py runs this file at
+two parallelism levels for the N-vs-4N scaling-efficiency proxy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as entrymod
+    from minhash_rs_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 8))
+
+    turns = entrymod._synth_turns(spark, sf_dir).cache()
+    n_turns = turns.count()  # warm the cache + JVM before timing
+    # warm the Python UDF workers (one-time ~20s fork+import cost that
+    # would otherwise be billed to the first timed query)
+    turns.mapInPandas(lambda it: it, turns.schema).count()
+
+    qs = entrymod.queries()
+    headline = [
+        "minhash_clusters",
+        "minhash_clusters_verified",
+        "exact_dup_annotate",
+        "simhash_clusters",
+        "token_stats",
+        "quality_stats",
+        "fingerprint",
+        "embedding_topk",
+        "embedding_lsh_topk",
+        "doc_assembly_roundtrip",
+    ]
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    # throughput flagship: the full pipeline over a larger deterministic
+    # synthetic transcripts corpus (the sf-dir documents tables are small;
+    # this is the turns/sec + scaling-efficiency measurement of BASELINE.md)
+    from minhash_rs_spark.config import MinHashConfig
+    from minhash_rs_spark.data.transcripts import transcripts_spark
+    from minhash_rs_spark.pipeline import run_minhash
+
+    n_base = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+    big_turns, _ = transcripts_spark(spark, n_base=n_base, seed=42)
+    big_turns = big_turns.cache()
+    n_big = big_turns.count()
+    t0 = time.time()
+    res = run_minhash(spark, big_turns, MinHashConfig())
+    n_asg = res.assignments.count()
+    times["synthetic_flagship"] = round(time.time() - t0, 3)
+    print(f"# synthetic_flagship: {times['synthetic_flagship']}s "
+          f"({n_big} turns -> {n_asg} convs)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    flagship = times["synthetic_flagship"]
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": int(cpus),
+        "turns": n_big,
+        "sf_turns": n_turns,
+        "flagship_sec": flagship,
+        "turns_per_sec": round(n_big / flagship, 1) if flagship else None,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

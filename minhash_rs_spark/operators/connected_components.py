@@ -59,22 +59,47 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return (row["c"] or 0, row["x"] or 0)
 
 
+def _cc_partitions(n_edges: int, current: int) -> int:
+    """Shuffle-partition count for the CC loop, sized to the edge set.
+
+    The loop's per-round DataFrames sit behind localCheckpoint RDD
+    boundaries, which AQE cannot coalesce across — with the session's
+    scan-sized partition count every round pays hundreds of near-empty
+    tasks (measured 12x slowdown on small edge sets). ~2M edges per
+    partition keeps partitions comfortably in memory at scale while
+    collapsing small/medium graphs to a handful of tasks."""
+    return max(2, min(current, 1 + n_edges // 2_000_000))
+
+
 def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
     """edges (src, dst) -> assignments (conv_id, cc_id), covering every
     node that appears in at least one edge. Singletons are the caller's
     coalesce (C3: ref src/main.rs:1089-1099 becomes a left join,
     pipeline.py)."""
+    spark = edges.sparkSession
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint(eager=True)
-    prev_sig = None
-    for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig = _signature(e)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
-    members = e.select(F.col("src").alias("conv_id"), F.col("dst").alias("cc_id"))
-    roots = e.select(F.col("dst").alias("conv_id"), F.col("dst").alias("cc_id"))
-    return members.union(roots).distinct()
+    n_edges = e.count()
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(_cc_partitions(n_edges, int(orig_parts))))
+    try:
+        prev_sig = None
+        for _ in range(max_iterations):
+            # lazy checkpoint: the signature query right after is the
+            # single action that both materializes this round's edge set
+            # and tests convergence (one Spark job per round, not two)
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            sig = _signature(e)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds")
+        members = e.select(F.col("src").alias("conv_id"), F.col("dst").alias("cc_id"))
+        roots = e.select(F.col("dst").alias("conv_id"), F.col("dst").alias("cc_id"))
+        out = members.union(roots).distinct().localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
+    return out

@@ -57,30 +57,34 @@ def _padded(text: Column) -> Column:
 def quality_stats(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Cheap quality signals: char/space/digit ratios + English-stopword
-    density + a composite score. Pure codegen expressions."""
+    density + a composite score, all in EXACT integer micro-units (_e6,
+    integer division) — float rounding of quantized ratios lands on
+    half-ulp boundaries and diverges across engines; integers never do.
+    Pure codegen expressions."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    n = F.length(t)
-    n_spaces = n - F.length(F.replace(t, F.lit(" ")))
-    n_digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    n = F.length(t).cast("long")
+    n_spaces = (F.length(t) - F.length(F.replace(t, F.lit(" ")))).cast("long")
+    n_digits = (F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("long")
     padded = _padded(F.col(text_col))
     stop_hits = None
     for w in LANG_PROBES["en"]:
         c = _count_occurrences(padded, w)
         stop_hits = c if stop_hits is None else stop_hits + c
     toks = _tokens(F.col(text_col))
-    n_tokens = F.size(toks)
-    safe_n = F.greatest(n, F.lit(1)).cast("double")
-    space_ratio = F.round(n_spaces / safe_n, 6)
-    digit_ratio = F.round(n_digits / safe_n, 6)
-    stop_density = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double"), 6)
-    score = F.round(
-        F.least(F.lit(1.0), n.cast("double") / F.lit(500.0)) * F.lit(0.4)
-        + (F.lit(1.0) - digit_ratio) * F.lit(0.3)
-        + F.least(F.lit(1.0), stop_density * F.lit(5.0)) * F.lit(0.3), 6)
-    return docs.select(
+    n_tokens = F.size(toks).cast("long")
+    base = docs.select(
         F.col(id_col), n.alias("n_chars_q"), n_tokens.alias("n_tokens"),
-        space_ratio.alias("space_ratio"), digit_ratio.alias("digit_ratio"),
-        stop_density.alias("stopword_density"), score.alias("quality_score"))
+        n_spaces.alias("_sp"), n_digits.alias("_dg"), stop_hits.alias("_st"))
+    return base.select(
+        id_col, "n_chars_q", "n_tokens",
+        F.expr("(_sp*1000000) div greatest(n_chars_q,1)").alias("space_ratio_e6"),
+        F.expr("(_dg*1000000) div greatest(n_chars_q,1)").alias("digit_ratio_e6"),
+        F.expr("(_st*1000000) div greatest(n_tokens,1)").alias("stopword_density_e6"),
+        F.expr(
+            "(least(1000000L, n_chars_q*2000)*4) div 10"
+            " + ((1000000 - (_dg*1000000) div greatest(n_chars_q,1))*3) div 10"
+            " + (least(1000000L, ((_st*1000000) div greatest(n_tokens,1))*5)*3) div 10"
+        ).alias("quality_score_e6"))
 
 
 def lang_guess(docs: DataFrame, id_col: str = "doc_id",

@@ -1,0 +1,211 @@
+"""Operator-level tests: subsample semantics, SimHash path, suffix-array
+containment, checkpoint/resume, textstats, similarity, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from minhash_rs_spark.config import MinHashConfig
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tiny_corpus):
+    from minhash_rs_spark.operators.doc_assembly import assemble_documents
+
+    turns, _ = tiny_corpus
+    d = assemble_documents(turns).cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def exact_asg(spark, docs):
+    from minhash_rs_spark.operators.exact_dedup import exact_dedup_assignments
+
+    return exact_dedup_assignments(docs).cache()
+
+
+# ---- dup-aware subsample (ref: src/dup_aware_subsample.rs) ----
+
+def test_subsample_all_or_nothing(spark, exact_asg):
+    from minhash_rs_spark.operators.subsample import dup_aware_subsample
+
+    kept = dup_aware_subsample(exact_asg, 0.5, seed=1)
+    partial = (kept.groupBy("cc_id").count()
+               .join(exact_asg.groupBy("cc_id").agg(F.count("*").alias("full")),
+                     "cc_id")
+               .where("count != full"))
+    assert partial.count() == 0
+
+
+def test_subsample_seeded_reproducible_and_seed_sensitive(spark, exact_asg):
+    from minhash_rs_spark.operators.subsample import dup_aware_subsample
+
+    k1 = {r["conv_id"] for r in dup_aware_subsample(exact_asg, 0.5, seed=1).collect()}
+    k2 = {r["conv_id"] for r in dup_aware_subsample(exact_asg, 0.5, seed=1).collect()}
+    k3 = {r["conv_id"] for r in dup_aware_subsample(exact_asg, 0.5, seed=2).collect()}
+    assert k1 == k2
+    assert k1 != k3
+    n = exact_asg.count()
+    assert 0.25 * n < len(k1) < 0.75 * n  # rate ~0.5
+
+
+def test_subsample_max_cc_size_gate(spark, exact_asg):
+    from minhash_rs_spark.operators.subsample import dup_aware_subsample
+
+    kept = dup_aware_subsample(exact_asg, 1.0, max_cc_size=1, seed=0)
+    assert kept.where(F.col("cc_size") > 1).count() == 0
+    # rate 1.0 keeps every singleton
+    n_singletons = exact_asg.where("cc_size = 1").count()
+    assert kept.count() == n_singletons
+
+
+# ---- simhash path ----
+
+def test_simhash_clusters_exact_dups(spark, docs, tiny_corpus):
+    from minhash_rs_spark.functions.udfs import shingle_sets
+    from minhash_rs_spark.operators.simhash import simhash_cc
+
+    _, pairs = tiny_corpus
+    sh = shingle_sets(docs, MinHashConfig())
+    cc = {r["conv_id"]: r["cc_id"] for r in simhash_cc(sh).collect()}
+    for _, row in pairs[pairs["kind"] == "exact"].iterrows():
+        a, b = row["conv_id_a"], row["conv_id_b"]
+        assert cc.get(a, a) == cc.get(b, b), (a, b)
+
+
+def test_simhash_hamming_verification(spark):
+    """Candidates beyond the Hamming threshold must be rejected."""
+    from minhash_rs_spark.operators.simhash import (
+        simhash_candidate_edges,
+        simhash_verified_edges,
+    )
+
+    rows = [("a", 0), ("b", 1), ("c", 0b11111111)]  # d(a,b)=1, d(a,c)=8
+    sigs = spark.createDataFrame(rows, ["conv_id", "simhash"])
+    edges = simhash_candidate_edges(sigs, num_blocks=4)
+    kept = {(r["src"], r["dst"])
+            for r in simhash_verified_edges(edges, sigs, 3).collect()}
+    assert ("b", "a") in kept
+    assert ("c", "a") not in kept
+
+
+# ---- suffix-array containment ----
+
+def test_containment_finds_planted(spark, docs, tiny_corpus):
+    from minhash_rs_spark.operators.substring import containment_edges
+
+    _, pairs = tiny_corpus
+    planted = pairs[pairs["kind"] == "containment"]
+    assert len(planted) > 0
+    found = {(r["src"], r["dst"])
+             for r in containment_edges(docs, scope="global").collect()}
+    for _, row in planted.iterrows():
+        a, b = row["conv_id_a"], row["conv_id_b"]  # a's text inside b's
+        assert (a, b) in found, (a, b)
+
+
+def test_containment_partition_scope_subset_of_global(spark, docs):
+    from minhash_rs_spark.operators.substring import containment_edges
+
+    g = {(r["src"], r["dst"])
+         for r in containment_edges(docs, scope="global").collect()}
+    p = {(r["src"], r["dst"])
+         for r in containment_edges(docs.repartition(4), scope="partition").collect()}
+    assert p <= g
+
+
+# ---- checkpoint / resume ----
+
+def test_checkpoint_resume_identical_and_skips_recompute(spark, tiny_corpus, tmp_path):
+    from minhash_rs_spark.pipeline import run_minhash
+
+    turns, _ = tiny_corpus
+    cfg = MinHashConfig(checkpoint_dir=str(tmp_path / "ck"))
+    r1 = run_minhash(spark, turns, cfg, input_token="t1")
+    a1 = sorted(map(tuple, r1.assignments.collect()))
+    manifest = (tmp_path / "ck" / "_manifest.jsonl").read_text()
+    stages1 = manifest.count("\n")
+    r2 = run_minhash(spark, turns, cfg, input_token="t1")
+    a2 = sorted(map(tuple, r2.assignments.collect()))
+    assert a1 == a2
+    # no new manifest rows on resume
+    assert (tmp_path / "ck" / "_manifest.jsonl").read_text().count("\n") == stages1
+    # different config -> different fingerprint -> stages recomputed
+    cfg3 = MinHashConfig(checkpoint_dir=str(tmp_path / "ck"), hash_seed=9)
+    run_minhash(spark, turns, cfg3, input_token="t1").assignments.count()
+    assert (tmp_path / "ck" / "_manifest.jsonl").read_text().count("\n") > stages1
+
+
+# ---- textstats golden values ----
+
+def test_textstats_golden(spark):
+    from minhash_rs_spark.operators.textstats import (
+        fingerprint,
+        lang_guess,
+        quality_stats,
+        token_stats,
+    )
+
+    rows = [(1, "The cat and the dog. The end."),
+            (2, "Der Hund und die Katze, und das ist gut."),
+            (3, ""), (4, "12345 67890"), (5, "one one one")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ts = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert ts[1]["n_tokens"] == 7
+    assert ts[3]["n_tokens"] == 0 and ts[3]["avg_token_len"] == 0.0
+    assert ts[5]["n_tokens"] == 3 and ts[5]["n_unique_tokens"] == 1
+
+    lg = {r["doc_id"]: r["lang_guess"] for r in lang_guess(df).collect()}
+    assert lg[1] == "en"
+    assert lg[2] == "de"
+    assert lg[3] == "und"
+
+    qs = {r["doc_id"]: r for r in quality_stats(df).collect()}
+    assert qs[4]["digit_ratio_e6"] == pytest.approx(10 * 1_000_000 // 11)
+    assert qs[3]["quality_score_e6"] >= 0
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fp[3] == 0
+    # poly-hash oracle for doc 5
+    expect = 0
+    for ch in "one one one":
+        expect = (expect * 31 + ord(ch)) % 1_000_000_007
+    assert fp[5] == expect
+
+
+# ---- similarity ----
+
+def test_similarity_topk_and_lsh_recall(spark):
+    from minhash_rs_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    vecs[100] = vecs[0] + 0.01  # plant a near neighbor of vec 0
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bf = brute_force_topk(emb, k=3, query_mod=100)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in bf.collect()}
+    assert got[(0, 1)] == 100  # planted neighbor is rank 1
+    # LSH recall vs brute force (same-sign bucket keeps near-identical vecs)
+    lsh = {(r["query_id"], r["neighbor_id"]) for r in
+           lsh_topk(emb, k=3, query_mod=100, n_bits=4).collect()}
+    assert (0, 100) in lsh
+
+
+# ---- multimodal plumbing ----
+
+def test_multimodal_stub(spark):
+    from minhash_rs_spark.operators.multimodal import attach_fake_payload, decode_media
+
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    media = attach_fake_payload(df)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = decode_media(media, dim=4).collect()
+    assert len(feats) == 2
+    assert all(len(r["feature"]) == 4 for r in feats)
+    # determinism
+    feats2 = decode_media(media, dim=4).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    with pytest.raises(NotImplementedError):
+        decode_media(media, real=True)

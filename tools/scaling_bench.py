@@ -1,0 +1,93 @@
+"""Two-cluster-size scaling proxy (BASELINE.md): run the flagship
+pipeline at local[N] and local[4N] on the SAME input and report
+throughput at both plus scaling efficiency = (T_N / T_4N) / 4.
+
+Each parallelism level runs in its own subprocess (a JVM's master is
+fixed at startup). Writes BENCH/BASELINE.md and prints a JSON summary.
+
+Usage: python tools/scaling_bench.py [sf_dir] [N] [repeat]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def run_level(sf_dir: str, cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=str(cpus), PYTHONPATH=str(ROOT))
+    t0 = time.time()
+    p = subprocess.run([sys.executable, str(ROOT / "bench.py")],
+                       capture_output=True, text=True, env=env, cwd=str(ROOT))
+    wall = time.time() - t0
+    if p.returncode != 0:
+        print(p.stderr[-3000:], file=sys.stderr)
+        raise SystemExit(f"bench.py failed at local[{cpus}]")
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+    out = json.loads(line)
+    out["wall_sec"] = round(wall, 1)
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    r8 = run_level(sf_dir, n)
+    r32 = run_level(sf_dir, 4 * n)
+    t_n, t_4n = r8["flagship_sec"], r32["flagship_sec"]
+    su_total = r8["value"] / r32["value"]
+    eff_flag = (t_n / t_4n) / 4
+    eff_total = su_total / 4
+    summary = {
+        "sf_dir": sf_dir,
+        "n_cpus": n, "n4_cpus": 4 * n,
+        "turns": r8["turns"],
+        "flagship_sec_n": t_n, "flagship_sec_4n": t_4n,
+        "turns_per_sec_n": r8["turns_per_sec"],
+        "turns_per_sec_4n": r32["turns_per_sec"],
+        "suite_sec_n": r8["value"], "suite_sec_4n": r32["value"],
+        "scaling_efficiency_flagship": round(eff_flag, 3),
+        "scaling_efficiency_suite": round(eff_total, 3),
+        "queries_n": r8["queries"], "queries_4n": r32["queries"],
+    }
+    bench_dir = ROOT / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    md = f"""# BENCH/BASELINE — measured numbers (sandbox)
+
+Scaling proxy per BASELINE.md: same job, same input
+({sf_dir}, {r8["turns"]} turns), at local[{n}] vs local[{4*n}]
+(single machine; no real multi-node cluster in the sandbox).
+
+| metric | local[{n}] | local[{4*n}] |
+|---|---|---|
+| flagship pipeline (minhash_clusters) sec | {t_n} | {t_4n} |
+| flagship throughput turns/sec | {r8["turns_per_sec"]} | {r32["turns_per_sec"]} |
+| headline suite total sec | {r8["value"]} | {r32["value"]} |
+
+Scaling efficiency (T_{n} / T_{4*n}) / 4:
+- flagship: **{eff_flag:.3f}**
+- whole suite: **{eff_total:.3f}**
+
+(Target >= 0.8 per BASELINE.json north_rule. Note: on a single box the
+{4*n}-thread run shares memory bandwidth and the Python driver, so this
+proxy under-reports what separate executors achieve; per-query times
+below.)
+
+| query | local[{n}] s | local[{4*n}] s |
+|---|---|---|
+"""
+    for q in r8["queries"]:
+        md += f"| {q} | {r8['queries'][q]} | {r32['queries'][q]} |\n"
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
