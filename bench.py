@@ -64,12 +64,11 @@ def main():
     # synthetic transcripts corpus (the sf-dir documents tables are small;
     # this is the turns/sec + scaling-efficiency measurement of BASELINE.md)
     from minhash_rs_spark.config import MinHashConfig
-    from minhash_rs_spark.data.transcripts import transcripts_spark
+    from minhash_rs_spark.data.transcripts import transcripts_spark_distributed
     from minhash_rs_spark.pipeline import run_minhash
 
     n_base = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
-    big_turns, _ = transcripts_spark(spark, n_base=n_base, seed=42)
-    big_turns = big_turns.cache()
+    big_turns = transcripts_spark_distributed(spark, n_base=n_base, seed=42).cache()
     n_big = big_turns.count()
     t0 = time.time()
     res = run_minhash(spark, big_turns, MinHashConfig())

@@ -1,0 +1,107 @@
+"""CLI mirroring the reference's subcommand surface
+(/root/reference/src/main.rs:1717-1772) for spark-submit use:
+
+  spark-submit --py-files minhash_rs_spark.zip -m ... OR
+  python -m minhash_rs_spark <command> --config config.yaml \
+      --input <table/parquet> --output <dir> [--master local[32]]
+
+Commands (reference analog):
+  min-hash             full fuzzy-dedup pipeline (src/main.rs:1684-1701)
+  exact-dedup          exact-text dedup          (src/exact_dedup.rs)
+  dup-aware-subsample  component-level sampling  (src/dup_aware_subsample.rs)
+  true-jacc            intra-cluster exact Jaccard (src/main.rs:1573-1677)
+
+The YAML config keys are the reference's (num_bands, band_size,
+ngram_size, tokenizer_str, hash_seed, content_key, annotate_only,
+exact_override, ...) — see config.MinHashConfig.from_reference_dict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_config(path: str | None):
+    from minhash_rs_spark.config import MinHashConfig
+
+    if not path:
+        return MinHashConfig()
+    try:
+        return MinHashConfig.from_yaml(path)
+    except ImportError:
+        with open(path) as f:
+            raw = json.load(f)
+        return MinHashConfig.from_reference_dict(raw)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="minhash_rs_spark")
+    p.add_argument("command", choices=["min-hash", "exact-dedup",
+                                       "dup-aware-subsample", "true-jacc"])
+    p.add_argument("--config", help="reference-style YAML (or JSON) config")
+    p.add_argument("--input", required=True,
+                   help="parquet path of the transcripts table")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--master", default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--subsample-rate", type=float, default=None)
+    p.add_argument("--max-cc-size", type=int, default=None)
+    p.add_argument("--jaccard-threshold", type=float, default=None)
+    args = p.parse_args(argv)
+
+    from dataclasses import replace
+
+    from minhash_rs_spark.session import get_spark
+
+    cfg = _load_config(args.config)
+    overrides = {}
+    if args.checkpoint_dir:
+        overrides["checkpoint_dir"] = args.checkpoint_dir
+    if args.subsample_rate is not None:
+        overrides["subsample_rate"] = args.subsample_rate
+    if args.max_cc_size is not None:
+        overrides["max_cc_size"] = args.max_cc_size
+    if args.jaccard_threshold is not None:
+        overrides["jaccard_threshold"] = args.jaccard_threshold
+    if overrides:
+        cfg = replace(cfg, **overrides)
+
+    spark = get_spark(f"minhash-rs-spark:{args.command}", master=args.master)
+    turns = spark.read.parquet(args.input)
+
+    from minhash_rs_spark.pipeline import run_exact_dedup, run_minhash
+
+    if args.command == "min-hash":
+        res = run_minhash(spark, turns, cfg, input_token=args.input)
+        res.output.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(res.collect_stats()))
+    elif args.command == "exact-dedup":
+        res = run_exact_dedup(spark, turns, cfg, input_token=args.input)
+        res.output.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(res.collect_stats()))
+    elif args.command == "dup-aware-subsample":
+        from minhash_rs_spark.operators.annotate import prune_turns
+        from minhash_rs_spark.operators.subsample import dup_aware_subsample
+
+        res = run_minhash(spark, turns, cfg, input_token=args.input)
+        kept = dup_aware_subsample(res.assignments, cfg.subsample_rate,
+                                   cfg.max_cc_size, cfg.subsample_seed)
+        surviving = kept.select("conv_id")
+        out = turns.join(surviving.withColumnRenamed("conv_id", cfg.conv_col),
+                         cfg.conv_col, "left_semi")
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"kept_convs": surviving.count()}))
+    elif args.command == "true-jacc":
+        from minhash_rs_spark.operators.verify import intra_cluster_jaccards
+
+        res = run_minhash(spark, turns, cfg, input_token=args.input)
+        tj = intra_cluster_jaccards(res.assignments, res.shingles)
+        tj.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"pairs": spark.read.parquet(args.output).count()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -143,3 +143,71 @@ def transcripts_spark(spark, n_base: int = 200, seed: int = 0, **kw):
     pdf, pairs = generate_transcripts(n_base=n_base, seed=seed, **kw)
     df = spark.createDataFrame(pdf).repartition(8)
     return df, pairs
+
+
+def transcripts_spark_distributed(spark, n_base: int, seed: int = 0,
+                                  parallelism: int | None = None):
+    """Cluster-side corpus generation for benchmark scale (millions of
+    turns): numpy-vectorized text synthesis inside mapInPandas over
+    spark.range — each conversation derives from its own
+    np.random.default_rng([seed, i]), so output is deterministic per
+    (n_base, seed) and independent of partitioning. Duplicate structure
+    (exact ~15%, near ~15%) mirrors generate_transcripts; no
+    ground-truth pairs table (bench doesn't score recall).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ])
+    words = np.array(_WORDS)
+    gen_seed = seed
+
+    def gen(batches):
+        for pdf in batches:
+            conv_ids, turn_idx, texts = [], [], []
+            for i in pdf["id"]:
+                rng = np.random.default_rng([gen_seed, int(i)])
+                n_turns = int(rng.integers(2, 13))
+                lens = rng.integers(5, 41, n_turns)
+                idx = rng.integers(0, len(words), int(lens.sum()))
+                w = words[idx]
+                bounds = np.cumsum(lens)[:-1]
+                conv_texts = [" ".join(seg) for seg in np.split(w, bounds)]
+                variants = [(f"c{i:09d}", conv_texts)]
+                r = rng.random()
+                if r < 0.15:
+                    variants.append((f"c{i:09d}x", list(conv_texts)))
+                elif r < 0.30:
+                    sub = rng.choice([0.005, 0.015, 0.04])
+                    near = []
+                    for t in conv_texts:
+                        ws = t.split(" ")
+                        mask = rng.random(len(ws)) < sub
+                        for j in np.nonzero(mask)[0]:
+                            ws[j] = str(words[int(rng.integers(0, len(words)))]) + "~"
+                        near.append(" ".join(ws))
+                    variants.append((f"c{i:09d}n", near))
+                for cid, ts_list in variants:
+                    conv_ids.extend([cid] * len(ts_list))
+                    turn_idx.extend(range(len(ts_list)))
+                    texts.extend(ts_list)
+            n = len(conv_ids)
+            ti = np.array(turn_idx, dtype=np.int32)
+            yield pd.DataFrame({
+                "conv_id": conv_ids,
+                "turn_idx": ti,
+                "role": np.where(ti % 2 == 0, "user", "assistant"),
+                "text": texts,
+                "tool": pd.array([None] * n, dtype=object),
+                "ts": pd.Series([_EPOCH] * n) + pd.to_timedelta(ti, unit="m"),
+            })
+
+    p = parallelism or spark.sparkContext.defaultParallelism
+    return spark.range(0, n_base, 1, p).mapInPandas(gen, schema)

@@ -124,6 +124,48 @@ def perm_hash_top64(a_hi: np.uint64, a_lo: np.uint64,
     return mulhi64(np.broadcast_to(a_lo, h_lo.shape), h_lo) + a_lo * h_hi + a_hi * h_lo
 
 
+@_wrapping
+def minhash_block(a_hi: np.ndarray, a_lo: np.ndarray,
+                  h_hi: np.ndarray, h_lo: np.ndarray,
+                  seg_starts: np.ndarray, out: np.ndarray) -> None:
+    """All permutations over one cache-resident shingle block.
+
+    out: (n_docs_in_block, num_perms) u64, written in place.
+    Identical math to perm_hash_top64/mulhi64, but with preallocated
+    temporaries reused across the permutation loop — the inner arrays
+    (block-sized, ~0.5MB) stay in cache for all ~112 perms.
+    """
+    n = len(h_lo)
+    x0 = h_lo & _LO32
+    x1 = h_lo >> _SH32
+    t1 = np.empty(n, dtype=U64)
+    t2 = np.empty(n, dtype=U64)
+    acc = np.empty(n, dtype=U64)
+    for p in range(len(a_lo)):
+        al, ah = a_lo[p], a_hi[p]
+        y0 = al & _LO32
+        y1 = al >> _SH32
+        # mulhi64(h_lo, a_lo) with reused temps
+        np.multiply(x0, y0, out=t1)           # lo_lo
+        t1 >>= _SH32
+        np.multiply(x1, y0, out=t2)           # mid1 = x1*y0 + (lo_lo>>32)
+        t2 += t1
+        np.multiply(x0, y1, out=t1)           # mid2 = x0*y1 + (mid1&lo32)
+        np.bitwise_and(t2, _LO32, out=acc)
+        t1 += acc
+        t2 >>= _SH32
+        t1 >>= _SH32
+        np.multiply(x1, y1, out=acc)          # hi = x1*y1 + mid1>>32 + mid2>>32
+        acc += t2
+        acc += t1
+        # + a_lo*h_hi + a_hi*h_lo  (wrapping)
+        np.multiply(h_hi, al, out=t1)
+        acc += t1
+        np.multiply(h_lo, ah, out=t1)
+        acc += t1
+        np.minimum.reduceat(acc, seg_starts, out=out[:, p])
+
+
 def stable_str_hash(s: str) -> int:
     """Stable 64-bit hash of a unicode string (blake2b/8); replaces the
     reference's SipHash DefaultHasher (src/main.rs:583-587) — any stable

@@ -115,30 +115,63 @@ class SignatureKernel:
     def minhash_from_shingles(self, shingle_arrays: list[np.ndarray]) -> np.ndarray:
         """(num_docs, num_perms) u64 minhash matrix.
 
-        Flattens all docs' shingles and computes each permutation over the
-        whole batch at once; per-doc minima via np.minimum.reduceat
-        (vectorized analog of ref src/main.rs:664-677).
+        Flattens docs' shingles and runs each permutation's multiply-shift
+        + per-doc min (np.minimum.reduceat) — the vectorized analog of ref
+        src/main.rs:664-677. Work is blocked into cache-resident chunks of
+        docs (~64k shingles) with the permutation loop INSIDE the block:
+        the limb arrays stay hot in L2/L3 across all 112 permutations
+        instead of streaming ~10 u64 temporaries per perm through DRAM —
+        executors run ~32 such kernels concurrently, so the unblocked
+        version saturates memory bandwidth (measured ~10x slowdown).
         """
         ndocs = len(shingle_arrays)
-        hv = np.full((ndocs, self.num_perms), H.MAX_HASH, dtype=U64)
         if ndocs == 0:
-            return hv
+            return np.full((0, self.num_perms), H.MAX_HASH, dtype=U64)
         lens = np.array([len(a) for a in shingle_arrays], dtype=np.int64)
         # every doc has >=1 shingle (short-doc fallback in rolling_poly_hashes)
         assert (lens > 0).all(), "doc with zero shingles — fallback violated"
         flat = np.concatenate(shingle_arrays) if ndocs > 1 else shingle_arrays[0]
         starts = np.zeros(ndocs, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        h_hi, h_lo = H.shingle_u128(flat)
-        for p in range(self.num_perms):
-            v = H.perm_hash_top64(self.a_hi[p], self.a_lo[p], h_hi, h_lo)
-            hv[:, p] = np.minimum.reduceat(v, starts)
+        return self.minhash_from_flat(flat, starts)
+
+    def minhash_from_flat(self, flat: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        """Same, over pre-flattened shingles + doc start offsets (the
+        zero-copy Arrow ListArray layout; see udfs.band_signature_rows)."""
+        ndocs = len(starts)
+        hv = np.full((ndocs, self.num_perms), H.MAX_HASH, dtype=U64)
+        if ndocs == 0:
+            return hv
+        flat = flat.astype(U64, copy=False)
+        ends = np.concatenate([starts[1:], [len(flat)]])
+        # np.minimum.reduceat misbehaves on empty segments; shingle_sets
+        # guarantees >=1 shingle/doc (short-doc fallback)
+        assert (ends > starts).all(), "empty shingle segment"
+
+        block_target = 65536  # shingles per block (~0.5MB/u64 array)
+        d0 = 0
+        while d0 < ndocs:
+            d1 = d0 + 1
+            while d1 < ndocs and ends[d1 - 1] - starts[d0] < block_target:
+                d1 += 1
+            seg = flat[starts[d0]:ends[d1 - 1]]
+            seg_starts = starts[d0:d1] - starts[d0]
+            h_hi, h_lo = H.shingle_u128(seg)
+            H.minhash_block(self.a_hi, self.a_lo, h_hi, h_lo,
+                            seg_starts, hv[d0:d1])
+            d0 = d1
         return hv
 
     def signatures_from_shingles(self, shingle_arrays: list[np.ndarray]
                                  ) -> tuple[np.ndarray, np.ndarray]:
         """Per-doc per-band 128-bit LSH keys: (hi, lo) each (num_docs, num_bands)."""
         hv = self.minhash_from_shingles(shingle_arrays)
+        return H.band_signatures(hv, self.num_bands, self.band_size)
+
+    def band_sigs_from_flat(self, flat: np.ndarray, starts: np.ndarray
+                            ) -> tuple[np.ndarray, np.ndarray]:
+        """Band signatures straight from the Arrow ListArray layout."""
+        hv = self.minhash_from_flat(flat, starts)
         return H.band_signatures(hv, self.num_bands, self.band_size)
 
     def signatures_for_texts(self, texts) -> tuple[np.ndarray, np.ndarray]:

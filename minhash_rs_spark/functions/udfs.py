@@ -57,56 +57,84 @@ def shingle_sets(docs: DataFrame, cfg: MinHashConfig,
     Computed ONCE per document and reused by both the signature stage and
     the exact-Jaccard verification stage (the reference re-tokenizes in
     its true-jacc pass, src/main.rs:563-576 — we don't).
+
+    mapInArrow: the output list column is assembled from one flat numpy
+    buffer + offsets (pa.ListArray.from_arrays) — no per-doc Python
+    objects cross the Arrow boundary (only tokenization itself touches
+    Python strings, unavoidably).
     """
+    import pyarrow as pa
+
     cap = cfg.max_shingles_per_doc
     kernel_cfg = cfg
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         kernel = _kernel(kernel_cfg)
-        for pdf in batches:
-            arrs = kernel.shingles_batch(pdf[text_col].tolist())
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            conv = rb.column(0)
+            arrs = kernel.shingles_batch(rb.column(1).to_pylist())
             if cap is not None:
                 # scale guard: keep the `cap` smallest shingle ids — a
                 # deterministic subset, so pairwise Jaccard stays a
                 # consistent estimator across docs
                 arrs = [a[:cap] for a in arrs]
-            yield pd.DataFrame({
-                "conv_id": pdf["conv_id"].values,
-                "shingles": [a.view(np.int64) for a in arrs],
-                "n_shingles": np.array([len(a) for a in arrs], dtype=np.int32),
-            })
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int32,
+                               count=len(arrs))
+            offsets = np.zeros(len(arrs) + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            flat = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+            shingle_col = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat.view(np.int64)))
+            yield pa.RecordBatch.from_arrays(
+                [conv, shingle_col, pa.array(lens)],
+                names=["conv_id", "shingles", "n_shingles"])
 
-    return docs.select("conv_id", text_col).mapInPandas(fn, SHINGLES_SCHEMA)
+    return docs.select("conv_id", text_col).mapInArrow(fn, SHINGLES_SCHEMA)
 
 
 def band_signature_rows(shingles_df: DataFrame, cfg: MinHashConfig) -> DataFrame:
     """(conv_id, shingles) -> one row per (doc, band): the LSH keys.
 
-    Explosion to num_bands rows/doc happens inside the Arrow batch with
-    np.repeat — Spark never materializes the intermediate array column.
-    (ref phase 2 output layout: src/main.rs:411-429, 695-702)
+    mapInArrow both ways: the shingle list column's flat value buffer +
+    offsets feed the blocked minhash kernel directly (zero copy, zero
+    per-doc Python), and the num_bands-per-doc explosion happens with
+    np.repeat/take inside the batch — Spark never materializes an
+    intermediate array column. (ref phase 2 layout: src/main.rs:411-429)
     """
+    import pyarrow as pa
+
     kernel_cfg = cfg
     nb = cfg.num_bands
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         kernel = _kernel(kernel_cfg)
         band_ids = np.arange(nb, dtype=np.int32)
-        for pdf in batches:
-            n = len(pdf)
+        for rb in batches:
+            n = rb.num_rows
             if n == 0:
                 continue
-            arrs = [np.asarray(a, dtype=np.int64).view(np.uint64)
-                    for a in pdf["shingles"]]
-            hi, lo = kernel.signatures_from_shingles(arrs)
-            yield pd.DataFrame({
-                "conv_id": np.repeat(pdf["conv_id"].values, nb),
-                "band_id": np.tile(band_ids, n),
-                "sig_hi": hi.reshape(-1).view(np.int64),
-                "sig_lo": lo.reshape(-1).view(np.int64),
-            })
+            conv = rb.column(0)
+            lst = rb.column(1)
+            if isinstance(lst, pa.ChunkedArray):  # pragma: no cover
+                lst = lst.combine_chunks()
+            offsets = lst.offsets.to_numpy(zero_copy_only=False)
+            flat = lst.values.to_numpy(zero_copy_only=False).view(np.uint64)
+            # account for a possible non-zero list-view offset
+            starts = offsets[:-1].astype(np.int64)
+            base = starts[0]
+            hi, lo = kernel.band_sigs_from_flat(flat[base:offsets[-1]],
+                                                starts - base)
+            rep_idx = pa.array(np.repeat(np.arange(n), nb))
+            yield pa.RecordBatch.from_arrays(
+                [conv.take(rep_idx),
+                 pa.array(np.tile(band_ids, n)),
+                 pa.array(hi.reshape(-1).view(np.int64)),
+                 pa.array(lo.reshape(-1).view(np.int64))],
+                names=["conv_id", "band_id", "sig_hi", "sig_lo"])
 
-    return shingles_df.select("conv_id", "shingles").mapInPandas(fn, SIG_SCHEMA)
+    return shingles_df.select("conv_id", "shingles").mapInArrow(fn, SIG_SCHEMA)
 
 
 def band_signature_rows_exact(docs: DataFrame, cfg: MinHashConfig,

@@ -81,13 +81,26 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
 
     docs = ckpt.stage("docs", lambda: assemble_documents(
         turns, cfg.conv_col, cfg.order_col, cfg.text_col))
+    # docs feeds two consumers (shingles + final assignments join);
+    # sigs feeds two scans inside star_edges (bucket agg + join-back).
+    # Without persistence each extra consumer re-runs the upstream
+    # Python UDF — persist when not already checkpointed to disk.
+    persisted = []
+    if cfg.checkpoint_dir is None:
+        docs = docs.persist()
+        persisted.append(docs)
 
     if cfg.exact_override:
         shingles = None
         sigs = band_signature_rows_exact(docs, cfg)
     else:
         shingles = ckpt.stage("shingles", lambda: shingle_sets(docs, cfg))
+        if cfg.checkpoint_dir is None and cfg.jaccard_threshold is not None:
+            shingles = shingles.persist()
+            persisted.append(shingles)
         sigs = band_signature_rows(shingles, cfg)
+    sigs = sigs.persist()
+    persisted.append(sigs)
 
     edges = ckpt.stage("edges", lambda: star_edges(sigs))
 
@@ -98,6 +111,13 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
     cc = ckpt.stage("cc", lambda: connected_components(edges))
     assignments = ckpt.stage("assignments",
                              lambda: cluster_assignments(docs, cc))
+    if cfg.checkpoint_dir is None:
+        # CC eagerly materialized everything upstream (its entry
+        # localCheckpoint); keep assignments resident, release the rest
+        assignments = assignments.persist()
+        assignments.count()
+        for df in persisted:
+            df.unpersist()
 
     if cfg.annotate_only:
         output = annotate_turns(turns, assignments, cfg.conv_col)

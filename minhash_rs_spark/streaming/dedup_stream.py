@@ -1,0 +1,64 @@
+"""Structured Streaming dedup (engine extension; the reference is a pure
+batch program — /root/reference has no streaming surface, SURVEY §2.7).
+
+Two streaming operators a transcript-ingest pipeline needs:
+
+  streaming_exact_dedup   drop exact-duplicate documents within an
+                          event-time watermark window
+                          (dropDuplicatesWithinWatermark on a content
+                          fingerprint — state is bounded by watermark)
+  streaming_minhash_sigs  per-microbatch MinHash band signatures via the
+                          same Arrow kernel (stateless map — safe in
+                          streams); LSH bucketing/CC remain batch jobs
+                          over the signature sink, which is exactly the
+                          lambda layout the reference's phase files imply
+
+Both read any streaming source (file/kafka/rate); tests drive them with
+a file source + availableNow trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from minhash_rs_spark.config import MinHashConfig
+from minhash_rs_spark.functions.udfs import band_signature_rows_exact
+
+
+def streaming_exact_dedup(stream: DataFrame,
+                          text_col: str = "text",
+                          ts_col: str = "ts",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Keep the first arrival of each exact text within the watermark.
+
+    State bounded: a fingerprint is dropped from state once its event
+    time passes the watermark — the streaming analog of exact-dedup's
+    hash ledger (/root/reference/src/exact_dedup.rs:105-115)."""
+    return (
+        stream
+        .withColumn("_fp", F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
+def streaming_minhash_sigs(stream: DataFrame, cfg: MinHashConfig | None = None,
+                           id_col: str = "conv_id",
+                           text_col: str = "text") -> DataFrame:
+    """Stateless per-batch MinHash banding of streamed documents —
+    writes the same (conv_id, band_id, sig_hi, sig_lo) layout as the
+    batch pipeline's signature stage, so downstream LSH/CC batch jobs
+    consume one unified signature table."""
+    cfg = cfg or MinHashConfig()
+    docs = stream.select(F.col(id_col).alias("conv_id"),
+                         F.coalesce(F.col(text_col), F.lit("")).alias("doc_text"))
+    return band_signature_rows_exact(docs, cfg) if cfg.exact_override else \
+        _sig_rows_streaming(docs, cfg)
+
+
+def _sig_rows_streaming(docs: DataFrame, cfg: MinHashConfig) -> DataFrame:
+    from minhash_rs_spark.functions.udfs import band_signature_rows, shingle_sets
+
+    return band_signature_rows(shingle_sets(docs, cfg), cfg)

@@ -1,0 +1,58 @@
+"""Structured Streaming operators: file source + availableNow trigger."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from minhash_rs_spark.config import MinHashConfig
+from minhash_rs_spark.streaming.dedup_stream import (
+    streaming_exact_dedup,
+    streaming_minhash_sigs,
+)
+
+
+@pytest.fixture()
+def stream_src(spark, tmp_path):
+    rows = [
+        ("c1", "same text here", "2024-01-01 00:00:00"),
+        ("c2", "same text here", "2024-01-01 00:00:10"),   # exact dup of c1
+        ("c3", "different text entirely", "2024-01-01 00:01:00"),
+        ("c4", "same text here", "2024-01-01 00:02:00"),   # dup again
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "text", "ts_s"]) \
+        .select("conv_id", "text", F.to_timestamp("ts_s").alias("ts"))
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src))
+    return spark.readStream.schema(df.schema).parquet(str(src))
+
+
+def _run_stream(df, tmp_path, name):
+    out = tmp_path / f"out_{name}"
+    ck = tmp_path / f"ck_{name}"
+    q = (df.writeStream.format("parquet")
+         .option("path", str(out)).option("checkpointLocation", str(ck))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return out
+
+
+def test_streaming_exact_dedup(spark, stream_src, tmp_path):
+    dedup = streaming_exact_dedup(stream_src, watermark="10 minutes")
+    out = _run_stream(dedup, tmp_path, "dedup")
+    got = spark.read.parquet(str(out))
+    texts = [r["text"] for r in got.collect()]
+    assert sorted(texts) == ["different text entirely", "same text here"]
+
+
+def test_streaming_minhash_sigs_match_batch(spark, stream_src, tmp_path):
+    cfg = MinHashConfig()
+    sigs = streaming_minhash_sigs(stream_src, cfg)
+    out = _run_stream(sigs, tmp_path, "sigs")
+    got = spark.read.parquet(str(out))
+    assert got.count() == 4 * cfg.num_bands
+    # streamed signatures == batch signatures on the same docs
+    from minhash_rs_spark.functions.udfs import band_signature_rows, shingle_sets
+
+    batch_docs = (spark.read.parquet(str(tmp_path / "src"))
+                  .select("conv_id", F.col("text").alias("doc_text")))
+    batch = band_signature_rows(shingle_sets(batch_docs, cfg), cfg)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
