@@ -183,6 +183,42 @@ def q_containment_pairs(spark, sf_dir):
                         F.col("dst").cast("long").alias("container_id"))
 
 
+def q_cc_size_histogram(spark, sf_dir):
+    """G6 cc-size ledger (ref save_ccs_by_size, exact_dedup.rs:228-265)
+    over exact-dup components."""
+    from minhash_rs_spark.operators.exact_dedup import exact_dedup_assignments
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.coalesce("text", F.lit("")).alias("doc_text"))
+    asg = exact_dedup_assignments(docs)
+    return (asg.groupBy("cc_size").agg(
+        F.countDistinct("cc_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("cc_size").cast("long").alias("cc_size"),
+                F.col("n_clusters").cast("long").alias("n_clusters"),
+                F.col("n_docs").cast("long").alias("n_docs")))
+
+
+def q_word_jaccard_pairs(spark, sf_dir):
+    from minhash_rs_spark.operators.word_jaccard import word_jaccard_pairs
+
+    out = word_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2, max_df=50)
+    return out.select(F.col("doc_a").cast("long").alias("doc_a"),
+                      F.col("doc_b").cast("long").alias("doc_b"),
+                      "n_common", "jaccard_e6")
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish sub-word token counting (word / single digit / punct)."""
+    docs = _docs(spark, sf_dir)
+    pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.coalesce("text", F.lit("")), F.lit(pat))
+        .cast("long").alias("n_bpe_tokens"))
+
+
 def q_embedding_topk(spark, sf_dir):
     from minhash_rs_spark.operators.similarity import brute_force_topk
 
@@ -278,6 +314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "doc_assembly_roundtrip": q_doc_assembly_roundtrip,
         "containment_pairs": q_containment_pairs,
+        "cc_size_histogram": q_cc_size_histogram,
+        "word_jaccard_pairs": q_word_jaccard_pairs,
+        "bpe_token_count": q_bpe_token_count,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         # non-SQL-expressible: rows-only checks
@@ -419,6 +458,51 @@ def oracle_sql() -> dict[str, str]:
              AND a.nt != ''
              AND length(a.nt) <= length(b.nt)
              AND position(a.nt IN b.nt) > 0
+        """,
+        "cc_size_histogram": """
+            WITH asg AS (
+              SELECT count(*) OVER (PARTITION BY coalesce(text,'')) AS cc_size,
+                     min(doc_id) OVER (PARTITION BY coalesce(text,'')) AS cc_id
+              FROM documents)
+            SELECT cc_size,
+                   CAST(count(DISTINCT cc_id) AS BIGINT) AS n_clusters,
+                   count(*) AS n_docs
+            FROM asg GROUP BY cc_size
+        """,
+        "word_jaccard_pairs": f"""
+            WITH ws AS (
+              SELECT doc_id AS doc, list_distinct({_TOKENS}) AS words
+              FROM documents),
+            posts AS (
+              SELECT doc, unnest(words) AS word FROM ws),
+            rare AS (
+              SELECT word FROM posts GROUP BY word
+              HAVING count(*) BETWEEN 2 AND 50),
+            cand AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM (SELECT p.* FROM posts p JOIN rare r USING (word)) a
+              JOIN (SELECT p.* FROM posts p JOIN rare r USING (word)) b
+                USING (word)
+              WHERE a.doc < b.doc)
+            SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(wa.words, wb.words)) AS BIGINT) AS n_common,
+                   (CAST(len(list_intersect(wa.words, wb.words)) AS BIGINT) * 1000000)
+                     // greatest(CAST(len(wa.words) + len(wb.words)
+                                      - len(list_intersect(wa.words, wb.words)) AS BIGINT), 1)
+                     AS jaccard_e6
+            FROM cand
+            JOIN ws wa ON wa.doc = cand.doc_a
+            JOIN ws wb ON wb.doc = cand.doc_b
+            WHERE (CAST(len(list_intersect(wa.words, wb.words)) AS BIGINT) * 1000000)
+                  // greatest(CAST(len(wa.words) + len(wb.words)
+                                   - len(list_intersect(wa.words, wb.words)) AS BIGINT), 1)
+                  >= 200000
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text,''),
+                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (

@@ -61,7 +61,12 @@ class MinHashConfig:
 
     # Spark-native additions
     jaccard_threshold: Optional[float] = None
-    salt_buckets: int = 16
+    # salt_buckets=0: rely on map-side partial aggregation (min/count are
+    # algebraic, so hot LSH buckets collapse before the shuffle —
+    # measured faster than salting, which doubles shuffle volume).
+    # Set >1 to force the explicit two-phase salted groupBy when the
+    # bucket aggregate is extended with non-algebraic state.
+    salt_buckets: int = 0
     checkpoint_dir: Optional[str] = None
     max_shingles_per_doc: Optional[int] = None
 

@@ -199,6 +199,85 @@ def rolling_poly_hashes(token_hashes: np.ndarray, n: int) -> np.ndarray:
 
 
 @_wrapping
+def rolling_poly_from_flat(flat: np.ndarray, starts: np.ndarray,
+                           n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized n-gram shingling over a WHOLE BATCH of documents laid
+    out as one flat token-hash array + per-doc start offsets (the Arrow
+    ListArray layout): the rolling polynomial is computed once over the
+    flat array and windows crossing document boundaries are simply not
+    gathered. Short docs (< n tokens) get the single fallback shingle
+    (ref src/main.rs:631-635). Duplicates are retained — MinHash is
+    multiset-invariant; call unique_per_doc for set semantics.
+
+    Returns (shingle_flat, shingle_starts): same layout, one segment per
+    input doc, every segment non-empty.
+    """
+    flat = flat.astype(U64, copy=False)
+    ndocs = len(starts)
+    total = len(flat)
+    ends = np.empty(ndocs, dtype=np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = total
+    lens = ends - starts
+    counts = np.maximum(lens - (n - 1), 1)
+    out_starts = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=out_starts[1:])
+    out = np.empty(int(counts.sum()), dtype=U64)
+
+    m = total - n + 1
+    if m > 0:
+        acc = np.zeros(m, dtype=U64)
+        for j in range(n):
+            acc = acc * _POLY_B + flat[j:j + m]
+        acc = mix64(acc)
+        long_mask = lens >= n
+        if long_mask.any():
+            s_long = starts[long_mask]
+            c_long = counts[long_mask]
+            o_long = out_starts[long_mask]
+            total_long = int(c_long.sum())
+            # gather indices: for each long doc, positions s..s+c-1 in acc
+            seg_id = np.repeat(np.arange(len(c_long)), c_long)
+            within = np.arange(total_long) - np.repeat(
+                np.concatenate([[0], np.cumsum(c_long[:-1])]), c_long)
+            src_idx = s_long[seg_id] + within
+            dst_idx = o_long[seg_id] + within
+            out[dst_idx] = acc[src_idx]
+    # short docs: single fallback shingle over all (possibly zero) tokens
+    short_idx = np.nonzero(lens < n)[0]
+    for i in short_idx:
+        a = U64(0)
+        for j in range(int(lens[i])):
+            a = a * _POLY_B + flat[starts[i] + j]
+        out[out_starts[i]] = mix64(a)
+    return out, out_starts
+
+
+def unique_per_doc(sh_flat: np.ndarray, sh_starts: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique shingles per doc segment, fully vectorized:
+    lexsort on (shingle, doc) then drop adjacent duplicates."""
+    ndocs = len(sh_starts)
+    total = len(sh_flat)
+    lens = np.empty(ndocs, dtype=np.int64)
+    lens[:-1] = sh_starts[1:] - sh_starts[:-1]
+    lens[-1] = total - sh_starts[-1]
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    order = np.lexsort((sh_flat, doc_of))
+    sd = doc_of[order]
+    sv = sh_flat[order]
+    keep = np.empty(total, dtype=bool)
+    keep[0] = True
+    np.logical_or(sd[1:] != sd[:-1], sv[1:] != sv[:-1], out=keep[1:])
+    out = sv[keep]
+    out_docs = sd[keep]
+    out_lens = np.bincount(out_docs, minlength=ndocs)
+    out_starts = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(out_lens[:-1], out=out_starts[1:])
+    return out, out_starts
+
+
+@_wrapping
 def shingle_u128(shingles_u64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Derive the u128 shingle hash (hi, lo halves) from the u64 shingle id
     (analog of the reference's two fixed-seed ahash calls,

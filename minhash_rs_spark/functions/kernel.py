@@ -49,13 +49,19 @@ def tokenize(cleaned: str, mode: str, cache: dict | None = None) -> np.ndarray:
         if not cleaned:
             return np.empty(0, dtype=U64)
         toks = cleaned.split(" ")
+        # token hash = xxHash64(utf8, seed 42) — EXACTLY Spark's
+        # xxhash64(), so the JVM tokenization path (doc_assembly.
+        # assemble_token_docs, codegen) and this Python path produce
+        # identical token ids (parity tested in tests/test_kernel.py)
+        from minhash_rs_spark.functions.xxhash import xxhash64
         if cache is None:
-            return np.fromiter((H.stable_str_hash(w) for w in toks), dtype=U64, count=len(toks))
+            return np.fromiter((xxhash64(w) for w in toks), dtype=U64,
+                               count=len(toks))
         out = np.empty(len(toks), dtype=U64)
         for i, w in enumerate(toks):
             h = cache.get(w)
             if h is None:
-                h = H.stable_str_hash(w)
+                h = xxhash64(w)
                 cache[w] = h
             out[i] = h
         return out
@@ -105,10 +111,21 @@ class SignatureKernel:
 
     # ---- shingling ----
 
-    def shingles_batch(self, texts) -> list[np.ndarray]:
+    def shingles_batch(self, texts) -> list[np.ndarray | None]:
+        """Per-doc shingle sets; a doc whose tokenization raises yields
+        None (P7 failure guard, ref catch_unwind src/main.rs:522-526) —
+        callers drop it and it survives downstream as a singleton."""
         cache: dict = {}
-        return [doc_shingles(t if t is not None else "", self.ngram_size,
-                             self.tokenizer, cache) for t in texts]
+        out: list[np.ndarray | None] = []
+        for t in texts:
+            try:
+                out.append(doc_shingles(t if t is not None else "",
+                                        self.ngram_size, self.tokenizer, cache))
+            except (ValueError, NotImplementedError):
+                raise  # config errors must fail the job, not skip docs
+            except Exception:
+                out.append(None)
+        return out
 
     # ---- minhash ----
 
@@ -148,7 +165,10 @@ class SignatureKernel:
         # guarantees >=1 shingle/doc (short-doc fallback)
         assert (ends > starts).all(), "empty shingle segment"
 
-        block_target = 65536  # shingles per block (~0.5MB/u64 array)
+        # shingles per block: ~8 u64 temporaries x 128KB stay L2-resident
+        # per worker even with 32 concurrent workers sharing L3 (measured
+        # best aggregate throughput across {4k,8k,16k,64k})
+        block_target = 16384
         d0 = 0
         while d0 < ndocs:
             d1 = d0 + 1

@@ -75,6 +75,18 @@ def shingle_sets(docs: DataFrame, cfg: MinHashConfig,
                 continue
             conv = rb.column(0)
             arrs = kernel.shingles_batch(rb.column(1).to_pylist())
+            # P7 tokenization-failure guard (ref catch_unwind,
+            # src/main.rs:522-526): a doc whose tokenization raised is
+            # dropped here -> no signatures -> it survives as a singleton,
+            # matching the reference's skip-and-continue
+            failed = [i for i, a in enumerate(arrs) if a is None]
+            if failed:
+                keep = np.ones(len(arrs), dtype=bool)
+                keep[failed] = False
+                conv = conv.filter(pa.array(keep))
+                arrs = [a for a in arrs if a is not None]
+                if not arrs:
+                    continue
             if cap is not None:
                 # scale guard: keep the `cap` smallest shingle ids — a
                 # deterministic subset, so pairwise Jaccard stays a
@@ -135,6 +147,99 @@ def band_signature_rows(shingles_df: DataFrame, cfg: MinHashConfig) -> DataFrame
                 names=["conv_id", "band_id", "sig_hi", "sig_lo"])
 
     return shingles_df.select("conv_id", "shingles").mapInArrow(fn, SIG_SCHEMA)
+
+
+def _list_flat(lst, pa):
+    """(values u64 view, starts int64) from an Arrow ListArray column."""
+    if isinstance(lst, pa.ChunkedArray):  # pragma: no cover
+        lst = lst.combine_chunks()
+    offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lst.values.to_numpy(zero_copy_only=False).view(np.uint64)
+    base = offsets[0]
+    return flat[base:offsets[-1]], offsets[:-1] - base
+
+
+def band_signature_rows_from_tokens(token_docs: DataFrame,
+                                    cfg: MinHashConfig) -> DataFrame:
+    """(conv_id, token_hashes) -> (conv_id, band_id, sig_hi, sig_lo).
+
+    The fast path: tokenization already happened JVM-side
+    (doc_assembly.assemble_token_docs), so this UDF is pure numpy —
+    batch-vectorized rolling shingles (hashing.rolling_poly_from_flat)
+    + blocked minhash. No uniqueness pass: MinHash is multiset-invariant.
+    """
+    import pyarrow as pa
+
+    kernel_cfg = cfg
+    nb = cfg.num_bands
+    ngram = cfg.ngram_size
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from minhash_rs_spark.functions import hashing as H
+
+        kernel = _kernel(kernel_cfg)
+        band_ids = np.arange(nb, dtype=np.int32)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            conv = rb.column(0)
+            flat, starts = _list_flat(rb.column(1), pa)
+            sh_flat, sh_starts = H.rolling_poly_from_flat(flat, starts, ngram)
+            hi, lo = kernel.band_sigs_from_flat(sh_flat, sh_starts)
+            rep_idx = pa.array(np.repeat(np.arange(n), nb))
+            yield pa.RecordBatch.from_arrays(
+                [conv.take(rep_idx),
+                 pa.array(np.tile(band_ids, n)),
+                 pa.array(hi.reshape(-1).view(np.int64)),
+                 pa.array(lo.reshape(-1).view(np.int64))],
+                names=["conv_id", "band_id", "sig_hi", "sig_lo"])
+
+    return (token_docs.select("conv_id", "token_hashes")
+            .mapInArrow(fn, SIG_SCHEMA))
+
+
+def shingle_sets_from_tokens(token_docs: DataFrame,
+                             cfg: MinHashConfig) -> DataFrame:
+    """(conv_id, token_hashes) -> (conv_id, shingles, n_shingles) with
+    sorted-unique shingle sets (for exact-Jaccard verification) —
+    batch-vectorized (lexsort dedup), no per-doc Python."""
+    import pyarrow as pa
+
+    cap = cfg.max_shingles_per_doc
+    ngram = cfg.ngram_size
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from minhash_rs_spark.functions import hashing as H
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            conv = rb.column(0)
+            flat, starts = _list_flat(rb.column(1), pa)
+            sh_flat, sh_starts = H.rolling_poly_from_flat(flat, starts, ngram)
+            u_flat, u_starts = H.unique_per_doc(sh_flat, sh_starts)
+            lens = np.empty(n, dtype=np.int64)
+            lens[:-1] = u_starts[1:] - u_starts[:-1]
+            lens[-1] = len(u_flat) - u_starts[-1]
+            if cap is not None:
+                keep_lens = np.minimum(lens, cap)
+                seg = np.repeat(np.arange(n), lens)
+                within = np.arange(len(u_flat)) - np.repeat(u_starts, lens)
+                mask = within < keep_lens[seg]
+                u_flat = u_flat[mask]
+                lens = keep_lens
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            shingle_col = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(u_flat.view(np.int64)))
+            yield pa.RecordBatch.from_arrays(
+                [conv, shingle_col, pa.array(lens.astype(np.int32))],
+                names=["conv_id", "shingles", "n_shingles"])
+
+    return (token_docs.select("conv_id", "token_hashes")
+            .mapInArrow(fn, SHINGLES_SCHEMA))
 
 
 def band_signature_rows_exact(docs: DataFrame, cfg: MinHashConfig,

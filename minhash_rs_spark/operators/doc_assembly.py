@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# SlimPajama punctuation set (ref clean_text, src/main.rs:598-614)
+_PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
 
 def assemble_documents(turns: DataFrame,
                        conv_col: str = "conv_id",
@@ -38,3 +41,38 @@ def assemble_documents(turns: DataFrame,
             F.count(F.lit(1)).alias("n_turns"),
         )
     )
+
+
+def turn_token_hashes(text_col) -> "F.Column":
+    """Whole-stage-codegen clean + tokenize + hash of one turn's text:
+    lower -> strip SlimPajama punctuation (translate) -> split on
+    unicode whitespace -> drop empties -> xxhash64 per token.
+
+    Bit-identical to the Python kernel's "words" tokenizer
+    (kernel.tokenize uses the same xxHash64-seed-42 on UTF-8 bytes);
+    parity is asserted in tests. The (?U) flag makes Java's \\s match
+    unicode whitespace like Python's re.
+    """
+    cleaned = F.translate(F.lower(F.coalesce(text_col, F.lit(""))), _PUNCT, "")
+    toks = F.filter(F.split(cleaned, r"(?U)\s+"), lambda t: t != "")
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def assemble_token_docs(turns: DataFrame,
+                        conv_col: str = "conv_id",
+                        order_col: str = "turn_idx",
+                        text_col: str = "text") -> DataFrame:
+    """(conv_id, token_hashes array<long>, n_turns) — the minhash path's
+    document assembly, entirely JVM-side (codegen; no Python strings).
+
+    Assembles the document STRING first (assemble_documents — plain
+    collect_list of strings, which the aggregate machinery handles far
+    better than nested arrays: tokenize-per-turn + collect_list of
+    token arrays measured ~2x slower end-to-end), then runs the
+    clean+tokenize+xxhash64 expression over the assembled text.
+    """
+    docs = assemble_documents(turns, conv_col, order_col, text_col)
+    return docs.select(
+        "conv_id",
+        turn_token_hashes(F.col("doc_text")).alias("token_hashes"),
+        "n_turns")

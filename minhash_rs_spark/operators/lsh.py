@@ -33,8 +33,27 @@ from pyspark.sql import functions as F
 BUCKET_KEY = ["band_id", "sig_hi", "sig_lo"]
 
 
-def lsh_buckets(sigs: DataFrame) -> DataFrame:
-    """Bucket stats: (band_id, sig_hi, sig_lo, rep, cnt) for cnt > 1."""
+def lsh_buckets(sigs: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """Bucket stats: (band_id, sig_hi, sig_lo, rep, cnt) for cnt > 1.
+
+    salt_buckets > 0 adds an explicit two-phase salted aggregation
+    (north rule): phase 1 groups on (bucket key, salt=xxhash(conv_id)%S)
+    so a degenerate mega-bucket (e.g. all-empty docs) is reduced by S
+    parallel tasks before the final combine. With plain min/count Spark's
+    map-side partial aggregation already bounds the skew, so salting is
+    belt-and-braces — it matters when this operator is extended with
+    non-algebraic aggregates.
+    """
+    if salt_buckets and salt_buckets > 1:
+        phase1 = (
+            sigs.withColumn("_salt", F.pmod(F.xxhash64("conv_id"),
+                                            F.lit(salt_buckets)))
+            .groupBy(*BUCKET_KEY, "_salt")
+            .agg(F.min("conv_id").alias("rep_p"), F.count(F.lit(1)).alias("cnt_p"))
+        )
+        return (phase1.groupBy(*BUCKET_KEY)
+                .agg(F.min("rep_p").alias("rep"), F.sum("cnt_p").alias("cnt"))
+                .where(F.col("cnt") > 1))
     return (
         sigs.groupBy(*BUCKET_KEY)
         .agg(F.min("conv_id").alias("rep"), F.count(F.lit(1)).alias("cnt"))
@@ -42,14 +61,15 @@ def lsh_buckets(sigs: DataFrame) -> DataFrame:
     )
 
 
-def star_edges(sigs: DataFrame, buckets: DataFrame | None = None) -> DataFrame:
+def star_edges(sigs: DataFrame, buckets: DataFrame | None = None,
+               salt_buckets: int = 0) -> DataFrame:
     """Candidate-duplicate edges (src, dst=bucket-min), distinct.
 
     src > dst by construction (rep is the bucket min), so edges are
     already in canonical (larger, smaller) orientation for CC.
     """
     if buckets is None:
-        buckets = lsh_buckets(sigs)
+        buckets = lsh_buckets(sigs, salt_buckets)
     return (
         sigs.join(buckets.select(*BUCKET_KEY, "rep"), BUCKET_KEY)
         .where(F.col("conv_id") != F.col("rep"))

