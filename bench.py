@@ -40,29 +40,11 @@ def main():
     # would otherwise be billed to the first timed query)
     turns.mapInPandas(lambda it: it, turns.schema).count()
 
-    qs = entrymod.queries()
-    headline = [
-        "minhash_clusters",
-        "minhash_clusters_verified",
-        "exact_dup_annotate",
-        "simhash_clusters",
-        "token_stats",
-        "quality_stats",
-        "fingerprint",
-        "embedding_topk",
-        "embedding_lsh_topk",
-        "doc_assembly_roundtrip",
-    ]
     times: dict[str, float] = {}
-    for name in headline:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
-    # throughput flagship: the full pipeline over a larger deterministic
-    # synthetic transcripts corpus (the sf-dir documents tables are small;
-    # this is the turns/sec + scaling-efficiency measurement of BASELINE.md)
+    # throughput flagship FIRST, on a quiet JVM: measured on this box,
+    # running it after the suite leaves checkpoint RDD blocks + shuffle
+    # state behind that inflate the pinned-core run several-fold
     from minhash_rs_spark.config import MinHashConfig
     from minhash_rs_spark.data.transcripts import transcripts_spark_distributed
     from minhash_rs_spark.pipeline import run_minhash
@@ -76,6 +58,30 @@ def main():
     times["synthetic_flagship"] = round(time.time() - t0, 3)
     print(f"# synthetic_flagship: {times['synthetic_flagship']}s "
           f"({n_big} turns -> {n_asg} convs)", file=sys.stderr)
+    big_turns.unpersist()
+    spark.catalog.clearCache()
+
+    qs = entrymod.queries()
+    headline = [
+        "minhash_clusters",
+        "minhash_clusters_verified",
+        "exact_dup_annotate",
+        "simhash_clusters",
+        "token_stats",
+        "quality_stats",
+        "fingerprint",
+        "embedding_topk",
+        "embedding_lsh_topk",
+        "doc_assembly_roundtrip",
+    ]
+    for name in headline:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        # pipeline queries persist intermediates; drop them so successive
+        # measurements (and the flagship below) run on a clean heap
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     flagship = times["synthetic_flagship"]
