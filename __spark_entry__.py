@@ -228,6 +228,14 @@ def q_embedding_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    from minhash_rs_spark.operators.similarity import cosine_near_dup_pairs
+
+    out = cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+    return out.select(F.col("vec_a").cast("long").alias("vec_a"),
+                      F.col("vec_b").cast("long").alias("vec_b"))
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     from minhash_rs_spark.operators.similarity import lsh_topk
 
@@ -319,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         # non-SQL-expressible: rows-only checks
         "minhash_signatures": q_minhash_signatures,
         "minhash_clusters": q_minhash_clusters,
@@ -514,6 +523,11 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
               WHERE q.vec_id % 50 = 0)
             WHERE rank <= 5
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
         "embedding_lsh_topk": """
             WITH b AS (

@@ -74,3 +74,20 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 50,
               .select("query_id", "neighbor_id",
                       cosine_expr(F.col("qv"), F.col("cv")).alias("cos_sim")))
     return _ranked_topk(scored, k)
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (task brief): all (a < b)
+    pairs with cosine >= threshold. Brute-force O(n^2) scoring — the
+    exact baseline; route through lsh_topk buckets for the approximate
+    scale path. Output ids only (vec_a, vec_b): float scores stay
+    engine-internal so downstream equality checks never compare floats.
+    """
+    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (a.crossJoin(b)
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .where(cosine_expr(F.col("va"), F.col("vb")) >= F.lit(threshold))
+            .select("vec_a", "vec_b"))
