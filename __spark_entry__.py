@@ -48,13 +48,16 @@ def _synth_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> transcripts(conv_id, turn_idx, role, text, tool, ts):
     turn i holds chars [i*80, (i+1)*80); every doc yields >= 1 turn."""
     docs = _docs(spark, sf_dir)
+    # Spark generates exactly the needed turn indices; the DuckDB oracle
+    # uses a static 0..SERIES_MAX series + the same WHERE bound (DuckDB
+    # 1.0 lacks correlated lateral generate_series) — identical output.
+    n_turns = F.greatest(F.ceil(F.length("t") / F.lit(TURN_CHARS)).cast("int"),
+                         F.lit(1))
     return (
         docs.select(F.col("doc_id").cast("string").alias("conv_id"),
                     F.coalesce(F.col("text"), F.lit("")).alias("t"))
         .select("conv_id", "t",
-                F.explode(F.sequence(F.lit(0), F.lit(SERIES_MAX))).alias("turn_idx"))
-        .where(F.col("turn_idx") * TURN_CHARS
-               < F.greatest(F.length("t"), F.lit(1)))
+                F.explode(F.sequence(F.lit(0), n_turns - 1)).alias("turn_idx"))
         .select(
             "conv_id",
             F.col("turn_idx").cast("int").alias("turn_idx"),
@@ -299,6 +302,61 @@ def q_simhash_clusters(spark, sf_dir):
         F.col("cc_idx").cast("long").alias("cc_idx"))
 
 
+def q_true_jaccard_pairs(spark, sf_dir):
+    """The reference's `true-jacc` analytics (src/main.rs:1573-1677):
+    exact shingle-Jaccard for every intra-cluster pair of the minhash
+    clustering. Kernel-dependent -> rows-only check."""
+    from minhash_rs_spark.functions.udfs import shingle_sets_from_tokens
+    from minhash_rs_spark.operators.annotate import cluster_assignments
+    from minhash_rs_spark.operators.doc_assembly import assemble_token_docs
+    from minhash_rs_spark.operators.verify import intra_cluster_jaccards
+    from minhash_rs_spark.pipeline import run_minhash
+
+    turns = _synth_turns(spark, sf_dir)
+    res = run_minhash(spark, turns, MinHashConfig())
+    tok_docs = assemble_token_docs(turns)
+    sh = shingle_sets_from_tokens(tok_docs, MinHashConfig())
+    tj = intra_cluster_jaccards(res.assignments, sh)
+    return tj.select(F.col("cc_id").cast("long").alias("cc_id"),
+                     F.col("conv_id_a").cast("long").alias("conv_id_a"),
+                     F.col("conv_id_b").cast("long").alias("conv_id_b"),
+                     F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("hour", "event_type", "n_events",
+                    F.col("n_users").cast("long").alias("n_users"),
+                    "sum_value"))
+
+
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — the batch analog of
+    streaming session windows: per user, count sessions and events."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts arrives as TIMESTAMP_NTZ in Spark 4; route the epoch
+    # conversion through TIMESTAMP (session tz = UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (ev.withColumn("_new", new_session)
+            .withColumn("session_id", F.sum("_new").over(w)))
+    return (sess.groupBy("user_id")
+            .agg(F.max("session_id").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    F.col("n_sessions").cast("long").alias("n_sessions"),
+                    "n_events"))
+
+
 def q_media_features(spark, sf_dir):
     from minhash_rs_spark.operators.multimodal import attach_fake_payload, decode_media
 
@@ -333,7 +391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "minhash_clusters_verified": q_minhash_clusters_verified,
         "simhash_clusters": q_simhash_clusters,
+        "true_jaccard_pairs": q_true_jaccard_pairs,
         "media_features": q_media_features,
+        "events_hourly": q_events_hourly,
+        "event_sessions": q_event_sessions,
     }
 
 
@@ -512,6 +573,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(coalesce(text,''),
                         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "event_sessions": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS session_id
+              FROM g)
+            SELECT user_id,
+                   CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
