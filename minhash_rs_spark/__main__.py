@@ -38,8 +38,14 @@ def _load_config(path: str | None):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="minhash_rs_spark")
-    p.add_argument("command", choices=["min-hash", "exact-dedup",
-                                       "dup-aware-subsample", "true-jacc"])
+    p.add_argument("command", choices=[
+        "min-hash", "exact-dedup", "dup-aware-subsample", "true-jacc",
+        # granular phase commands (reference: build-file-map/hash-only/
+        # gather-edges/build-uf/uf-size-prune/annotate,
+        # src/main.rs:1725-1756) — each materializes the pipeline up to
+        # its checkpoint stage; later invocations resume from there
+        "build-file-map", "hash-only", "gather-edges", "build-uf",
+        "uf-size-prune", "annotate"])
     p.add_argument("--config", help="reference-style YAML (or JSON) config")
     p.add_argument("--input", required=True,
                    help="parquet path of the transcripts table")
@@ -94,12 +100,39 @@ def main(argv=None):
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"kept_convs": surviving.count()}))
     elif args.command == "true-jacc":
+        from dataclasses import replace as _r
+
         from minhash_rs_spark.operators.verify import intra_cluster_jaccards
 
-        res = run_minhash(spark, turns, cfg, input_token=args.input)
+        # true-jacc needs shingle sets: force the threshold path so the
+        # shingles stage materializes (any tau; edges unaffected at 0.0)
+        cfg_tj = cfg if cfg.jaccard_threshold is not None else _r(
+            cfg, jaccard_threshold=0.0)
+        res = run_minhash(spark, turns, cfg_tj, input_token=args.input)
         tj = intra_cluster_jaccards(res.assignments, res.shingles)
         tj.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"pairs": spark.read.parquet(args.output).count()}))
+    elif args.command == "build-file-map":
+        # obsolete by design: file identity is the conv_id column and the
+        # checkpoint manifest (SURVEY §2.1 S1) — report the input snapshot
+        print(json.dumps({"note": "file map subsumed by conv_id + manifest",
+                          "input": args.input,
+                          "rows": turns.count()}))
+    elif args.command in ("hash-only", "gather-edges", "build-uf"):
+        if not cfg.checkpoint_dir:
+            raise SystemExit(f"{args.command} requires --checkpoint-dir "
+                             "(phase outputs must persist to be resumable)")
+        upto = {"hash-only": "sigs", "gather-edges": "edges",
+                "build-uf": "cc"}[args.command]
+        run_minhash(spark, turns, cfg, input_token=args.input, upto=upto)
+        print(json.dumps({"stage": upto, "checkpoint": cfg.checkpoint_dir}))
+    elif args.command in ("uf-size-prune", "annotate"):
+        from dataclasses import replace as _r
+
+        cfg2 = _r(cfg, annotate_only=(args.command == "annotate"))
+        res = run_minhash(spark, turns, cfg2, input_token=args.input)
+        res.output.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(res.collect_stats()))
     spark.stop()
 
 

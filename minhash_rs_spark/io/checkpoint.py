@@ -48,8 +48,13 @@ class CheckpointManager:
             return [json.loads(line) for line in f if line.strip()]
 
     def committed(self, stage: str) -> bool:
-        return any(r["stage"] == stage and r["fingerprint"] == self.fingerprint
-                   for r in self._manifest_rows())
+        """A stage resumes only if its manifest row exists under this
+        fingerprint AND its table is still on disk (a deleted table must
+        recompute, not fail downstream)."""
+        has_row = any(
+            r["stage"] == stage and r["fingerprint"] == self.fingerprint
+            for r in self._manifest_rows())
+        return has_row and (self.base_dir / stage).exists()
 
     def _append_manifest(self, record: dict) -> None:
         self.base_dir.mkdir(parents=True, exist_ok=True)

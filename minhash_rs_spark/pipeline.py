@@ -73,14 +73,32 @@ class PipelineResult:
 
 
 def config_fingerprint(cfg: MinHashConfig, input_token: str = "") -> str:
-    blob = json.dumps({**cfg.to_dict(), "input": input_token}, sort_keys=True)
+    """Stage-identity fingerprint: sink-mode and sampling knobs
+    (annotate_only, subsample_*) and the checkpoint location itself do
+    not affect the docs/sigs/edges/cc stage outputs, so they are
+    excluded — `annotate` resumes from tables `build-uf` committed."""
+    d = cfg.to_dict()
+    for k in ("annotate_only", "subsample_rate", "max_cc_size",
+              "subsample_seed", "checkpoint_dir"):
+        d.pop(k, None)
+    blob = json.dumps({**d, "input": input_token}, sort_keys=True)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
 def run_minhash(spark: SparkSession, turns: DataFrame,
                 cfg: MinHashConfig | None = None,
-                input_token: str = "") -> PipelineResult:
+                input_token: str = "",
+                upto: str | None = None) -> PipelineResult:
+    """upto: stop after materializing the named checkpoint stage
+    ("docs" | "shingles" | "edges" | "verified_edges" | "cc" |
+    "assignments") — the Spark analog of the reference\'s granular
+    phase subcommands (hash-only/gather-edges/build-uf, README.md:84-91
+    of the reference); requires cfg.checkpoint_dir so later phases
+    resume from the committed tables. Downstream fields of the result
+    are None."""
     cfg = cfg or MinHashConfig()
+    if upto is not None and cfg.checkpoint_dir is None:
+        raise ValueError("upto= requires cfg.checkpoint_dir (phase resume)")
     ckpt = CheckpointManager(spark, cfg.checkpoint_dir,
                              config_fingerprint(cfg, input_token))
 
@@ -103,6 +121,8 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
     if cfg.checkpoint_dir is None:
         docs = docs.persist()
         persisted.append(docs)
+    if upto == "docs":
+        return PipelineResult(docs, None, None, None, None, cfg)
 
     shingles = None
     if cfg.exact_override:
@@ -121,8 +141,18 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
             shingles = shingles.persist()
             persisted.append(shingles)
         sigs = band_signature_rows(shingles, cfg)
-    sigs = sigs.persist()
-    persisted.append(sigs)
+    if cfg.checkpoint_dir is not None:
+        # persist signatures as a checkpoint table (reference phase-2
+        # output layout, src/main.rs:411-429) — star_edges scans sigs
+        # twice (bucket agg + join-back), and granular phase resume
+        # (`hash-only` analog) needs them on disk
+        _sigs_df = sigs
+        sigs = ckpt.stage("sigs", lambda: _sigs_df)
+    else:
+        sigs = sigs.persist()
+        persisted.append(sigs)
+    if upto in ("sigs", "shingles"):
+        return PipelineResult(docs, shingles, None, None, None, cfg)
 
     edges = ckpt.stage("edges",
                        lambda: star_edges(sigs, salt_buckets=cfg.salt_buckets))
@@ -131,7 +161,12 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
         edges = ckpt.stage("verified_edges", lambda: verified_edges(
             edges, shingles, cfg.jaccard_threshold))
 
+    if upto in ("edges", "verified_edges"):
+        return PipelineResult(docs, shingles, edges, None, None, cfg)
+
     cc = ckpt.stage("cc", lambda: connected_components(edges))
+    if upto == "cc":
+        return PipelineResult(docs, shingles, edges, None, None, cfg)
     assignments = ckpt.stage("assignments",
                              lambda: cluster_assignments(docs, cc))
     if cfg.checkpoint_dir is None:
