@@ -88,3 +88,78 @@ def decode_media(media: DataFrame, dim: int = 8, real: bool = False) -> DataFram
 
     return media.select("media_id", "mime", "payload").mapInPandas(
         fn, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_sha", T.StringType(), False),
+])
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64,
+                 real: bool = False) -> DataFrame:
+    """Resize stub: deterministic fake 'resize' = blake2b-stretched bytes
+    of the payload to width*height (stands in for PIL Image.resize; the
+    Spark-side contract — binary in, fixed-size binary + dims out,
+    Arrow-batched — is the real thing)."""
+    if real:
+        raise NotImplementedError(
+            "real image resize requires PIL/opencv, absent here")
+
+    n_out = width * height
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                buf = bytearray()
+                counter = 0
+                while len(buf) < n_out:
+                    buf += hashlib.blake2b(
+                        p + counter.to_bytes(4, "little"),
+                        digest_size=64).digest()
+                    counter += 1
+                payloads.append(bytes(buf[:n_out]))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "width": np.full(len(pdf), width, dtype=np.int32),
+                "height": np.full(len(pdf), height, dtype=np.int32),
+                "payload": payloads,
+            })
+
+    return media.select("media_id", "payload").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256,
+                  max_frames: int = 8, real: bool = False) -> DataFrame:
+    """Frame-sampling stub for video payloads: emits up to max_frames
+    'frames' per media item (one per every_n_bytes window), each
+    fingerprinted — the row-explosion shape (1 media -> N frames) a real
+    ffmpeg-based sampler produces."""
+    if real:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg/av, absent here")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, idxs, shas = [], [], []
+        for pdf in batches:
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n = max(1, min(max_frames, len(p) // every_n_bytes + 1))
+                for i in range(n):
+                    chunk = p[i * every_n_bytes:(i + 1) * every_n_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    shas.append(hashlib.sha256(chunk).hexdigest()[:16])
+        yield pd.DataFrame({"media_id": ids,
+                            "frame_idx": np.array(idxs, dtype=np.int32),
+                            "frame_sha": shas})
+
+    return media.select("media_id", "payload").mapInPandas(fn, FRAME_SCHEMA)

@@ -62,3 +62,68 @@ def _sig_rows_streaming(docs: DataFrame, cfg: MinHashConfig) -> DataFrame:
     from minhash_rs_spark.functions.udfs import band_signature_rows, shingle_sets
 
     return band_signature_rows(shingle_sets(docs, cfg), cfg)
+
+
+def streaming_stateful_band_dedup(sig_stream: DataFrame,
+                                  ts_col: str = "ts",
+                                  watermark: str = "30 minutes",
+                                  state_timeout_min: int = 60) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): LSH
+    near-dup suppression over a signature stream.
+
+    Input: streaming (conv_id, band_id, sig_hi, sig_lo, ts) rows (from
+    streaming_minhash_sigs joined back to arrival time). Keyed by the
+    LSH bucket (band_id, sig_hi, sig_lo); per-key state holds the first
+    conv_id that claimed the bucket. Emits (conv_id, band_id, matched,
+    first_conv_id): matched=True marks a later arrival whose bucket was
+    already claimed — a streaming near-dup candidate against
+    first_conv_id. State expires state_timeout_min after the last
+    activity on the bucket (processing-time timeout), bounding memory
+    the way the batch path's LSH shuffle bounds a partition.
+
+    This is the streaming analog of lsh.star_edges: candidate pairs
+    (conv, first_conv) feed the same verification/CC batch jobs.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("band_id", T.IntegerType(), False),
+        T.StructField("sig_hi", T.LongType(), False),
+        T.StructField("sig_lo", T.LongType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("matched", T.BooleanType(), False),
+        T.StructField("first_conv_id", T.StringType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("first_conv_id", T.StringType(), False),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        band_id, sig_hi, sig_lo = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        rows = rows.sort_values("conv_id")
+        if state.exists:
+            (first,) = state.get
+        else:
+            first = str(rows["conv_id"].iloc[0])
+        state.update((first,))
+        state.setTimeoutDuration(state_timeout_min * 60 * 1000)
+        out = pd.DataFrame({
+            "band_id": band_id, "sig_hi": sig_hi, "sig_lo": sig_lo,
+            "conv_id": rows["conv_id"].values,
+            "matched": (rows["conv_id"] != first).values,
+            "first_conv_id": first,
+        })
+        return iter([out])
+
+    return (sig_stream
+            .groupBy("band_id", "sig_hi", "sig_lo")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.ProcessingTimeTimeout))

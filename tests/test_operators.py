@@ -209,3 +209,34 @@ def test_multimodal_stub(spark):
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
     with pytest.raises(NotImplementedError):
         decode_media(media, real=True)
+
+
+def test_multimodal_resize_and_frames(spark):
+    from minhash_rs_spark.operators.multimodal import (
+        attach_fake_payload,
+        resize_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "x" * 1000)], ["doc_id", "text"])
+    media = attach_fake_payload(df)
+    resized = resize_media(media, width=8, height=4).collect()
+    assert all(len(r["payload"]) == 32 for r in resized)
+    assert all((r["width"], r["height"]) == (8, 4) for r in resized)
+    # determinism
+    resized2 = resize_media(media, width=8, height=4).collect()
+    assert sorted(map(str, resized)) == sorted(map(str, resized2))
+
+    frames = sample_frames(media, every_n_bytes=256, max_frames=8)
+    by_id = {}
+    for r in frames.collect():
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert by_id["1"] == [0]           # 5-byte payload -> 1 frame
+    assert sorted(by_id["2"]) == [0, 1, 2, 3]  # 1000 bytes -> 4 frames
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        resize_media(media, real=True)
+    with _pytest.raises(NotImplementedError):
+        sample_frames(media, real=True)

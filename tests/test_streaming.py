@@ -56,3 +56,35 @@ def test_streaming_minhash_sigs_match_batch(spark, stream_src, tmp_path):
                   .select("conv_id", F.col("text").alias("doc_text")))
     batch = band_signature_rows(shingle_sets(batch_docs, cfg), cfg)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_stateful_band_dedup(spark, tmp_path):
+    """Custom stateful operator: same LSH bucket arriving twice across
+    microbatches -> second arrival flagged matched against the first."""
+    from minhash_rs_spark.streaming.dedup_stream import (
+        streaming_stateful_band_dedup,
+    )
+
+    rows1 = [("a", 0, 11, 22), ("b", 0, 99, 99)]
+    rows2 = [("c", 0, 11, 22), ("d", 1, 5, 5)]  # c hits a's bucket
+    schema = "conv_id string, band_id int, sig_hi long, sig_lo long"
+    src = tmp_path / "sig_src"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+    stream = (spark.readStream
+              .schema("conv_id string, band_id int, sig_hi long, sig_lo long")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    out = streaming_stateful_band_dedup(stream)
+    res = _run_stream(out, tmp_path, "stateful")
+    got = {r["conv_id"]: (r["matched"], r["first_conv_id"])
+           for r in spark.read.parquet(str(res)).collect()}
+    assert got["b"] == (False, "b")
+    assert got["d"] == (False, "d")
+    # a and c share a bucket: exactly one is the claimer, the other matched
+    assert {got["a"][0], got["c"][0]} == {False, True}
+    claimer = "a" if not got["a"][0] else "c"
+    other = "c" if claimer == "a" else "a"
+    assert got[other] == (True, claimer)
