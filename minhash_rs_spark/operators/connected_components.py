@@ -48,15 +48,24 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return attach_neighbors.union(attach_center).distinct()
 
 
-def _signature(edges: DataFrame) -> tuple[int, int]:
-    """Cheap order-insensitive fingerprint of an edge set: (count, bit_xor
-    of row hashes). bit_xor keeps everything in long without ANSI-mode
-    overflow."""
+def _is_star_forest(edges: DataFrame) -> bool:
+    """Convergence test: the edge set is a forest of stars rooted at
+    component minima iff (a) no node is both a source (leaf) and a
+    destination (root), and (b) every leaf points at exactly one root.
+    Checking this directly saves the extra contraction round that a
+    compare-previous-edge-set fixpoint test needs (large+small star are
+    no-ops exactly on star forests)."""
     row = edges.select(
-        F.count(F.lit(1)).alias("c"),
-        F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("src").alias("n_src"),
     ).first()
-    return (row["c"] or 0, row["x"] or 0)
+    if (row["n_edges"] or 0) != (row["n_src"] or 0):
+        return False  # some leaf has two parents -> not yet a star forest
+    # any root that is also a leaf?
+    overlap = (edges.select("dst").distinct()
+               .join(edges.select(F.col("src").alias("dst")).distinct(), "dst",
+                     "left_semi"))
+    return overlap.isEmpty()
 
 
 def _cc_partitions(n_edges: int, current: int) -> int:
@@ -84,16 +93,14 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(_cc_partitions(n_edges, int(orig_parts))))
     try:
-        prev_sig = None
         for _ in range(max_iterations):
-            # lazy checkpoint: the signature query right after is the
-            # single action that both materializes this round's edge set
-            # and tests convergence (one Spark job per round, not two)
-            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-            sig = _signature(e)
-            if sig == prev_sig:
+            if n_edges == 0:
                 break
-            prev_sig = sig
+            # lazy checkpoint: the star-forest probe right after is the
+            # first action that materializes this round's edge set
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            if _is_star_forest(e):
+                break
         else:
             raise RuntimeError(
                 f"connected_components did not converge in {max_iterations} rounds")
