@@ -51,8 +51,12 @@ def _synth_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark generates exactly the needed turn indices; the DuckDB oracle
     # uses a static 0..SERIES_MAX series + the same WHERE bound (DuckDB
     # 1.0 lacks correlated lateral generate_series) — identical output.
-    n_turns = F.greatest(F.ceil(F.length("t") / F.lit(TURN_CHARS)).cast("int"),
-                         F.lit(1))
+    # clamped to the oracle's static series bound so Spark and DuckDB
+    # agree even on pathological >327k-char documents
+    n_turns = F.least(
+        F.lit(SERIES_MAX + 1),
+        F.greatest(F.ceil(F.length("t") / F.lit(TURN_CHARS)).cast("int"),
+                   F.lit(1)))
     return (
         docs.select(F.col("doc_id").cast("string").alias("conv_id"),
                     F.coalesce(F.col("text"), F.lit("")).alias("t"))

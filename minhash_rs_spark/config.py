@@ -42,8 +42,13 @@ class MinHashConfig:
         checkpoint_dir     per-stage checkpoint tables + manifest
                            (Spark analog of the reference's phase files,
                            src/main.rs:411-429 + python/orchestration.py).
-        max_shingles_per_doc  cap on stored shingle-set size used for
-                           verification joins (scale guard; None = all).
+        max_shingles_per_doc  cap on the shingle-set size used for
+                           exact-verification joins (scale guard;
+                           None = all). Applies ONLY to verification:
+                           MinHash signatures are always computed over
+                           the full shingle multiset, so clustering is
+                           cap-invariant and identical across tokenizer
+                           paths.
     """
 
     num_bands: int = 14

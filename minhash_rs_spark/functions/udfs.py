@@ -65,7 +65,6 @@ def shingle_sets(docs: DataFrame, cfg: MinHashConfig,
     """
     import pyarrow as pa
 
-    cap = cfg.max_shingles_per_doc
     kernel_cfg = cfg
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -87,11 +86,12 @@ def shingle_sets(docs: DataFrame, cfg: MinHashConfig,
                 arrs = [a for a in arrs if a is not None]
                 if not arrs:
                     continue
-            if cap is not None:
-                # scale guard: keep the `cap` smallest shingle ids — a
-                # deterministic subset, so pairwise Jaccard stays a
-                # consistent estimator across docs
-                arrs = [a[:cap] for a in arrs]
+            # NOTE: max_shingles_per_doc is NOT applied here — MinHash
+            # signatures are cap-invariant on every tokenizer path; the
+            # cap bounds only the exact-verification sets and is applied
+            # once, in pipeline.run_minhash (a capped-set minimum would
+            # bias the MinHash estimator and make the clustering depend
+            # on which tokenizer path produced the signature)
             lens = np.fromiter((len(a) for a in arrs), dtype=np.int32,
                                count=len(arrs))
             offsets = np.zeros(len(arrs) + 1, dtype=np.int32)
@@ -203,10 +203,12 @@ def shingle_sets_from_tokens(token_docs: DataFrame,
                              cfg: MinHashConfig) -> DataFrame:
     """(conv_id, token_hashes) -> (conv_id, shingles, n_shingles) with
     sorted-unique shingle sets (for exact-Jaccard verification) —
-    batch-vectorized (lexsort dedup), no per-doc Python."""
+    batch-vectorized (lexsort dedup), no per-doc Python.
+
+    max_shingles_per_doc is applied downstream (pipeline.run_minhash) on
+    the verification consumer only, never here — see shingle_sets."""
     import pyarrow as pa
 
-    cap = cfg.max_shingles_per_doc
     ngram = cfg.ngram_size
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -223,13 +225,6 @@ def shingle_sets_from_tokens(token_docs: DataFrame,
             lens = np.empty(n, dtype=np.int64)
             lens[:-1] = u_starts[1:] - u_starts[:-1]
             lens[-1] = len(u_flat) - u_starts[-1]
-            if cap is not None:
-                keep_lens = np.minimum(lens, cap)
-                seg = np.repeat(np.arange(n), lens)
-                within = np.arange(len(u_flat)) - np.repeat(u_starts, lens)
-                mask = within < keep_lens[seg]
-                u_flat = u_flat[mask]
-                lens = keep_lens
             offsets = np.zeros(n + 1, dtype=np.int32)
             np.cumsum(lens, out=offsets[1:])
             shingle_col = pa.ListArray.from_arrays(

@@ -158,8 +158,18 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
                        lambda: star_edges(sigs, salt_buckets=cfg.salt_buckets))
 
     if cfg.jaccard_threshold is not None and shingles is not None:
+        # max_shingles_per_doc bounds ONLY the exact-verification sets —
+        # MinHash signatures are cap-invariant on every tokenizer path.
+        # Shingle arrays are sorted-unique ascending, so the JVM-side
+        # slice keeps the cap smallest ids: a deterministic subset, so
+        # pairwise Jaccard stays a consistent estimator across docs.
+        ver_shingles = shingles
+        if cfg.max_shingles_per_doc is not None:
+            ver_shingles = shingles.withColumn(
+                "shingles",
+                F.slice("shingles", 1, cfg.max_shingles_per_doc))
         edges = ckpt.stage("verified_edges", lambda: verified_edges(
-            edges, shingles, cfg.jaccard_threshold))
+            edges, ver_shingles, cfg.jaccard_threshold))
 
     if upto in ("edges", "verified_edges"):
         return PipelineResult(docs, shingles, edges, None, None, cfg)

@@ -34,13 +34,22 @@ def streaming_exact_dedup(stream: DataFrame,
 
     State bounded: a fingerprint is dropped from state once its event
     time passes the watermark — the streaming analog of exact-dedup's
-    hash ledger (/root/reference/src/exact_dedup.rs:105-115)."""
+    hash ledger (/root/reference/src/exact_dedup.rs:105-115).
+
+    The fingerprint is 128-bit (two independently-seeded xxhash64
+    halves), matching the batch path's no-false-merge stance
+    (exact_dedup.py groups on full text): at 10^12 turns a single
+    64-bit hash has a >2% birthday-collision chance of silently
+    dropping a unique document; at 128 bits the probability is ~1e-14.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     return (
         stream
-        .withColumn("_fp", F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))))
+        .withColumn("_fp_a", F.xxhash64(txt))
+        .withColumn("_fp_b", F.xxhash64(txt, F.lit(0x9E3779B9)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_fp"])
-        .drop("_fp")
+        .dropDuplicatesWithinWatermark(["_fp_a", "_fp_b"])
+        .drop("_fp_a", "_fp_b")
     )
 
 
@@ -64,6 +73,40 @@ def _sig_rows_streaming(docs: DataFrame, cfg: MinHashConfig) -> DataFrame:
     return band_signature_rows(shingle_sets(docs, cfg), cfg)
 
 
+def _band_dedup_fn(key, pdfs, state, state_timeout_min: int):
+    """Stateful kernel of streaming_stateful_band_dedup (module-level so
+    the timeout path is unit-testable without a live streaming query).
+
+    A ProcessingTimeTimeout firing invokes this with an EMPTY data
+    iterator — the timeout branch MUST run before any concat, or
+    pd.concat([]) raises ValueError and kills the whole query the first
+    time a bucket's timeout expires."""
+    import pandas as pd
+
+    band_id, sig_hi, sig_lo = key
+    if state.hasTimedOut:
+        state.remove()
+        return iter(())
+    batches = [p for p in pdfs if len(p)]
+    if not batches:
+        return iter(())
+    rows = pd.concat(batches, ignore_index=True)
+    rows = rows.sort_values("conv_id")
+    if state.exists:
+        (first,) = state.get
+    else:
+        first = str(rows["conv_id"].iloc[0])
+    state.update((first,))
+    state.setTimeoutDuration(state_timeout_min * 60 * 1000)
+    out = pd.DataFrame({
+        "band_id": band_id, "sig_hi": sig_hi, "sig_lo": sig_lo,
+        "conv_id": rows["conv_id"].values,
+        "matched": (rows["conv_id"] != first).values,
+        "first_conv_id": first,
+    })
+    return iter([out])
+
+
 def streaming_stateful_band_dedup(sig_stream: DataFrame,
                                   ts_col: str = "ts",
                                   watermark: str = "30 minutes",
@@ -84,9 +127,7 @@ def streaming_stateful_band_dedup(sig_stream: DataFrame,
     This is the streaming analog of lsh.star_edges: candidate pairs
     (conv, first_conv) feed the same verification/CC batch jobs.
     """
-    import pandas as pd
-
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql import types as T
 
     out_schema = T.StructType([
@@ -101,26 +142,8 @@ def streaming_stateful_band_dedup(sig_stream: DataFrame,
         T.StructField("first_conv_id", T.StringType(), False),
     ])
 
-    def fn(key, pdfs, state: GroupState):
-        band_id, sig_hi, sig_lo = key
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if state.hasTimedOut:
-            state.remove()
-            return iter(())
-        rows = rows.sort_values("conv_id")
-        if state.exists:
-            (first,) = state.get
-        else:
-            first = str(rows["conv_id"].iloc[0])
-        state.update((first,))
-        state.setTimeoutDuration(state_timeout_min * 60 * 1000)
-        out = pd.DataFrame({
-            "band_id": band_id, "sig_hi": sig_hi, "sig_lo": sig_lo,
-            "conv_id": rows["conv_id"].values,
-            "matched": (rows["conv_id"] != first).values,
-            "first_conv_id": first,
-        })
-        return iter([out])
+    def fn(key, pdfs, state):
+        return _band_dedup_fn(key, pdfs, state, state_timeout_min)
 
     return (sig_stream
             .groupBy("band_id", "sig_hi", "sig_lo")

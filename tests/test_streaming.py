@@ -88,3 +88,55 @@ def test_streaming_stateful_band_dedup(spark, tmp_path):
     claimer = "a" if not got["a"][0] else "c"
     other = "c" if claimer == "a" else "a"
     assert got[other] == (True, claimer)
+
+
+def test_stateful_band_dedup_timeout_path():
+    """A ProcessingTimeTimeout firing delivers an EMPTY data iterator:
+    the kernel must hit the timeout branch before any concat (a
+    pd.concat([]) here killed the query pre-fix) and clear the state."""
+    from minhash_rs_spark.streaming.dedup_stream import _band_dedup_fn
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    out = list(_band_dedup_fn((0, 1, 2), iter(()), st, 60))
+    assert out == []
+    assert st.removed
+
+    # non-timeout call with only empty batches must also be a no-op
+    import pandas as pd
+
+    class IdleState(FakeState):
+        hasTimedOut = False
+
+    empty = pd.DataFrame({"conv_id": pd.Series([], dtype=str)})
+    out = list(_band_dedup_fn((0, 1, 2), iter([empty]), IdleState(), 60))
+    assert out == []
+
+
+def test_streaming_exact_dedup_128bit_fp(spark, tmp_path):
+    """The streaming fingerprint is 128-bit (two seeded xxhash64 halves):
+    distinct texts survive, exact repeats are dropped."""
+    from minhash_rs_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    rows = [("a", "same text", "2024-01-01 00:00:00"),
+            ("b", "same text", "2024-01-01 00:00:01"),
+            ("c", "other text", "2024-01-01 00:00:02")]
+    src = tmp_path / "fp_src"
+    src.mkdir()
+    df = spark.createDataFrame(rows, "conv_id string, text string, ts_s string")
+    df = df.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    df.coalesce(1).write.mode("append").parquet(str(src))
+    stream = (spark.readStream.schema("conv_id string, text string, ts timestamp")
+              .parquet(str(src)))
+    out = streaming_exact_dedup(stream)
+    res = _run_stream(out, tmp_path, "fp128")
+    got = spark.read.parquet(str(res)).collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["other text", "same text"]
