@@ -74,6 +74,10 @@ class MinHashConfig:
     salt_buckets: int = 0
     checkpoint_dir: Optional[str] = None
     max_shingles_per_doc: Optional[int] = None
+    # verified path only: buckets up to this size get all within-bucket
+    # candidate pairs (exact within-bucket recall); bigger buckets fall
+    # back to star + salted sub-star edges (operators/lsh.pair_edges)
+    verify_pair_cap: int = 32
 
     # dup-aware subsample (ref: src/dup_aware_subsample.rs:142-160)
     subsample_rate: float = 1.0

@@ -67,6 +67,13 @@ def star_edges(sigs: DataFrame, buckets: DataFrame | None = None,
 
     src > dst by construction (rep is the bucket min), so edges are
     already in canonical (larger, smaller) orientation for CC.
+
+    USE ONLY on the unverified path (jaccard_threshold=None, the
+    reference-parity default): CC unions the whole bucket regardless of
+    edge shape, so the minimal star is exactly the reference's behavior
+    (src/main.rs:1031-1039 chains members; same transitive closure).
+    When edges are to be PRUNED by verification, star edges lose pairs
+    whose bucket-min is an outlier — use pair_edges instead.
     """
     if buckets is None:
         buckets = lsh_buckets(sigs, salt_buckets)
@@ -76,3 +83,60 @@ def star_edges(sigs: DataFrame, buckets: DataFrame | None = None,
         .select(F.col("conv_id").alias("src"), F.col("rep").alias("dst"))
         .distinct()
     )
+
+
+def pair_edges(sigs: DataFrame, buckets: DataFrame | None = None,
+               salt_buckets: int = 0, pair_cap: int = 32,
+               sub_salt: int = 16) -> DataFrame:
+    """Candidate edges for the VERIFIED path (jaccard_threshold set).
+
+    Rep-anchored star edges are wrong under verification: a pair (b, c)
+    in one bucket is reachable only through b—rep and c—rep, and if the
+    bucket min `rep` happens to be a band false-positive far from both,
+    verification prunes both edges and the true pair (b, c) is lost.
+
+    Shape here:
+      * buckets with cnt <= pair_cap: ALL within-bucket pairs — exact
+        within-bucket recall; output bounded by (pair_cap-1)/2 edges per
+        signature row, so O(pair_cap * N) worst case, no skew (the
+        self-join keys are small buckets by construction).
+      * buckets with cnt > pair_cap (rare; at a 128-bit band key these
+        are overwhelmingly true-dup crowds): star to the bucket min PLUS
+        a salted sub-star (min per (bucket, xxhash(conv_id) % sub_salt))
+        — linear edge count (2 per member), and an outlier bucket-min
+        can no longer disconnect members that share a salt group. This
+        fallback is heuristic, not exhaustive: a giant bucket whose true
+        pairs all straddle salt groups AND fail their rep edges can
+        still lose pairs (documented, bounded to cnt > pair_cap).
+
+    All groupBys are algebraic (min) — map-side partials absorb the
+    mega-bucket before the shuffle; the join-backs are equi-joins that
+    AQE skew-splits.
+    """
+    if buckets is None:
+        buckets = lsh_buckets(sigs, salt_buckets)
+    small = buckets.where(F.col("cnt") <= pair_cap).select(*BUCKET_KEY)
+    big = buckets.where(F.col("cnt") > pair_cap).select(*BUCKET_KEY, "rep")
+
+    sm = sigs.join(small, BUCKET_KEY).select(*BUCKET_KEY, "conv_id")
+    pairs = (
+        sm.join(sm.select(*BUCKET_KEY, F.col("conv_id").alias("dst")),
+                BUCKET_KEY)
+        .where(F.col("conv_id") > F.col("dst"))
+        .select(F.col("conv_id").alias("src"), "dst")
+    )
+
+    bm = (sigs.join(big, BUCKET_KEY)
+          .select(*BUCKET_KEY, "conv_id", "rep",
+                  F.pmod(F.xxhash64("conv_id"),
+                         F.lit(sub_salt)).alias("_salt")))
+    star = (bm.where(F.col("conv_id") != F.col("rep"))
+            .select(F.col("conv_id").alias("src"), F.col("rep").alias("dst")))
+    sub_reps = (bm.groupBy(*BUCKET_KEY, "_salt")
+                .agg(F.min("conv_id").alias("srep")))
+    sub_star = (bm.join(sub_reps, [*BUCKET_KEY, "_salt"])
+                .where(F.col("conv_id") != F.col("srep"))
+                .select(F.col("conv_id").alias("src"),
+                        F.col("srep").alias("dst")))
+
+    return pairs.union(star).union(sub_star).distinct()

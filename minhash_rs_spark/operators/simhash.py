@@ -6,8 +6,19 @@ Hamming distance <= hamming_threshold.
 
 Candidate generation is pigeonhole block-LSH: split the 64-bit signature
 into `num_blocks` contiguous blocks; any pair within Hamming distance
-num_blocks-1 shares at least one exact block, so grouping by
-(block_id, block_value) and emitting star edges finds all of them.
+num_blocks-1 shares at least one exact block. Blocks are emitted with a
+single explode over one scan of sigs (not a num_blocks-way union), and
+candidate edges come from operators/lsh.pair-edge logic:
+
+  * block groups with cnt <= pair_cap get ALL within-group pairs, so the
+    pigeonhole recall guarantee (every pair at Hamming <= num_blocks-1
+    is verified directly) holds exactly for them;
+  * giant groups (cnt > pair_cap — e.g. a crowd of identical docs whose
+    block value is shared) fall back to star + salted sub-star edges:
+    linear edge count, heuristic recall (a giant MIXED group can still
+    lose a pair whose two rep edges both fail verification; bounded to
+    cnt > pair_cap and documented here, NOT claimed as recall 1.0).
+
 Verification is JVM-side: bit_count(sig_a ^ sig_b) — no Python.
 
 Same output contract as the minhash path: edges -> connected components
@@ -22,33 +33,64 @@ from pyspark.sql import functions as F
 from minhash_rs_spark.functions.udfs import simhash_udf
 from minhash_rs_spark.operators.connected_components import connected_components
 
+BLOCK_KEY = ["block_id", "block_val"]
+
 
 def simhash_signatures(shingles: DataFrame) -> DataFrame:
     """(conv_id, shingles) -> (conv_id, simhash: long)."""
     return shingles.select("conv_id", simhash_udf(F.col("shingles")).alias("simhash"))
 
 
-def simhash_candidate_edges(sigs: DataFrame, num_blocks: int = 4) -> DataFrame:
-    """Star edges over pigeonhole blocks. Guarantees recall 1.0 for pairs
-    at Hamming distance <= num_blocks - 1."""
+def _block_rows(sigs: DataFrame, num_blocks: int) -> DataFrame:
+    """One row per (doc, block): a single scan of sigs + explode."""
     assert 64 % num_blocks == 0
     width = 64 // num_blocks
     mask = (1 << width) - 1
-    blocks = None
-    for b in range(num_blocks):
-        part = sigs.select(
-            "conv_id", "simhash",
-            F.lit(b).alias("block_id"),
-            (F.shiftrightunsigned(F.col("simhash"), b * width)
-             .bitwiseAND(F.lit(mask))).alias("block_val"))
-        blocks = part if blocks is None else blocks.union(part)
-    reps = (blocks.groupBy("block_id", "block_val")
-            .agg(F.min("conv_id").alias("rep"), F.count(F.lit(1)).alias("cnt"))
-            .where(F.col("cnt") > 1))
-    return (blocks.join(reps, ["block_id", "block_val"])
-            .where(F.col("conv_id") != F.col("rep"))
-            .select(F.col("conv_id").alias("src"), F.col("rep").alias("dst"))
-            .distinct())
+    parts = F.array(*[
+        F.struct(F.lit(b).alias("block_id"),
+                 (F.shiftrightunsigned(F.col("simhash"), b * width)
+                  .bitwiseAND(F.lit(mask))).alias("block_val"))
+        for b in range(num_blocks)
+    ])
+    return (sigs.select("conv_id", F.explode(parts).alias("blk"))
+            .select("conv_id", F.col("blk.block_id").alias("block_id"),
+                    F.col("blk.block_val").alias("block_val")))
+
+
+def simhash_candidate_edges(sigs: DataFrame, num_blocks: int = 4,
+                            pair_cap: int = 32,
+                            sub_salt: int = 16) -> DataFrame:
+    """Candidate edges over pigeonhole blocks: all pairs for small block
+    groups, star + salted sub-star for giant ones (see module doc)."""
+    blocks = _block_rows(sigs, num_blocks)
+    groups = (blocks.groupBy(*BLOCK_KEY)
+              .agg(F.min("conv_id").alias("rep"),
+                   F.count(F.lit(1)).alias("cnt"))
+              .where(F.col("cnt") > 1))
+
+    small = groups.where(F.col("cnt") <= pair_cap).select(*BLOCK_KEY)
+    big = groups.where(F.col("cnt") > pair_cap).select(*BLOCK_KEY, "rep")
+
+    sm = blocks.join(small, BLOCK_KEY)
+    pairs = (sm.join(sm.select(*BLOCK_KEY, F.col("conv_id").alias("dst")),
+                     BLOCK_KEY)
+             .where(F.col("conv_id") > F.col("dst"))
+             .select(F.col("conv_id").alias("src"), "dst"))
+
+    bm = (blocks.join(big, BLOCK_KEY)
+          .select(*BLOCK_KEY, "conv_id", "rep",
+                  F.pmod(F.xxhash64("conv_id"),
+                         F.lit(sub_salt)).alias("_salt")))
+    star = (bm.where(F.col("conv_id") != F.col("rep"))
+            .select(F.col("conv_id").alias("src"), F.col("rep").alias("dst")))
+    sub_reps = (bm.groupBy(*BLOCK_KEY, "_salt")
+                .agg(F.min("conv_id").alias("srep")))
+    sub_star = (bm.join(sub_reps, [*BLOCK_KEY, "_salt"])
+                .where(F.col("conv_id") != F.col("srep"))
+                .select(F.col("conv_id").alias("src"),
+                        F.col("srep").alias("dst")))
+
+    return pairs.union(star).union(sub_star).distinct()
 
 
 def simhash_verified_edges(edges: DataFrame, sigs: DataFrame,
@@ -67,9 +109,16 @@ def simhash_verified_edges(edges: DataFrame, sigs: DataFrame,
 
 
 def simhash_cc(shingles: DataFrame, hamming_threshold: int = 3,
-               num_blocks: int = 4) -> DataFrame:
-    """Full SimHash path: (conv_id, shingles) -> (conv_id, cc_id)."""
-    sigs = simhash_signatures(shingles)
-    edges = simhash_candidate_edges(sigs, num_blocks)
-    verified = simhash_verified_edges(edges, sigs, hamming_threshold)
-    return connected_components(verified)
+               num_blocks: int = 4, pair_cap: int = 32) -> DataFrame:
+    """Full SimHash path: (conv_id, shingles) -> (conv_id, cc_id).
+
+    sigs feed three consumers (block grouping, block join-back, edge
+    verification) — persisted here, released once CC has materialized
+    (connected_components localCheckpoints its input eagerly)."""
+    sigs = simhash_signatures(shingles).persist()
+    try:
+        edges = simhash_candidate_edges(sigs, num_blocks, pair_cap)
+        verified = simhash_verified_edges(edges, sigs, hamming_threshold)
+        return connected_components(verified)
+    finally:
+        sigs.unpersist()

@@ -42,7 +42,7 @@ from minhash_rs_spark.operators.doc_assembly import (
     assemble_documents,
     assemble_token_docs,
 )
-from minhash_rs_spark.operators.lsh import star_edges
+from minhash_rs_spark.operators.lsh import pair_edges, star_edges
 from minhash_rs_spark.operators.verify import verified_edges
 
 
@@ -154,8 +154,17 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
     if upto in ("sigs", "shingles"):
         return PipelineResult(docs, shingles, None, None, None, cfg)
 
-    edges = ckpt.stage("edges",
-                       lambda: star_edges(sigs, salt_buckets=cfg.salt_buckets))
+    # Unverified (reference-parity) path: minimal star edges — CC unions
+    # the whole bucket, so edge shape is irrelevant to the clustering.
+    # Verified path: within-bucket pair edges (star edges anchored at an
+    # outlier bucket-min would let verification disconnect true pairs).
+    if cfg.jaccard_threshold is None:
+        edges = ckpt.stage("edges", lambda: star_edges(
+            sigs, salt_buckets=cfg.salt_buckets))
+    else:
+        edges = ckpt.stage("edges", lambda: pair_edges(
+            sigs, salt_buckets=cfg.salt_buckets,
+            pair_cap=cfg.verify_pair_cap))
 
     if cfg.jaccard_threshold is not None and shingles is not None:
         # max_shingles_per_doc bounds ONLY the exact-verification sets —

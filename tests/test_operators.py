@@ -313,3 +313,72 @@ def test_multimodal_resize_and_frames(spark):
         resize_media(media, real=True)
     with _pytest.raises(NotImplementedError):
         sample_frames(media, real=True)
+
+
+# ---- verified-path recall: outlier bucket-min must not disconnect pairs
+
+
+def test_pair_edges_outlier_bucket_min(spark):
+    """Planted case from the round-1 verdict: an LSH bucket whose min
+    conv_id is a band false-positive far from the other two members,
+    which are true near-dups. Star edges anchored at the min would lose
+    the pair after verification; pair_edges must keep it."""
+    from minhash_rs_spark.operators.lsh import pair_edges, star_edges
+    from minhash_rs_spark.operators.verify import verified_edges
+
+    sigs = spark.createDataFrame(
+        [("a0", 0, 11, 22), ("b1", 0, 11, 22), ("b2", 0, 11, 22)],
+        "conv_id string, band_id int, sig_hi long, sig_lo long")
+    shingles = spark.createDataFrame(
+        [("a0", [100, 101, 102, 103]),
+         ("b1", [1, 2, 3, 4]),
+         ("b2", [1, 2, 3, 5])],
+        "conv_id string, shingles array<long>")
+
+    # the defect: star edges lose the (b1, b2) pair entirely
+    star_kept = verified_edges(star_edges(sigs), shingles, 0.5).collect()
+    assert star_kept == []
+
+    kept = {(r["src"], r["dst"])
+            for r in verified_edges(pair_edges(sigs), shingles, 0.5).collect()}
+    assert kept == {("b2", "b1")}
+
+
+def test_pair_edges_big_bucket_fallback(spark):
+    """Buckets above pair_cap use star + salted sub-star: edge count is
+    linear (not quadratic) and the whole bucket stays connected when all
+    members verify."""
+    from minhash_rs_spark.operators.connected_components import (
+        connected_components,
+    )
+    from minhash_rs_spark.operators.lsh import pair_edges
+
+    n = 40
+    sigs = spark.createDataFrame(
+        [(f"c{i:03d}", 0, 7, 7) for i in range(n)],
+        "conv_id string, band_id int, sig_hi long, sig_lo long")
+    edges = pair_edges(sigs, pair_cap=8)
+    n_edges = edges.count()
+    assert n_edges < n * (n - 1) // 2  # linear fallback, not all-pairs
+    cc = connected_components(edges)
+    assert cc.select("cc_id").distinct().count() == 1  # still one cluster
+
+
+def test_simhash_pair_edges_outlier_block_min(spark):
+    """Same planted case on the SimHash path: a0 shares block 0 with
+    b1/b2 but is Hamming-far from both; b1-b2 are Hamming-1."""
+    from minhash_rs_spark.operators.simhash import (
+        simhash_candidate_edges,
+        simhash_verified_edges,
+    )
+
+    b1 = 0
+    b2 = b1 ^ (1 << 16)            # Hamming 1 from b1
+    a0 = b1 ^ (0xFF << 32)         # Hamming 8 from b1, shares block 0
+    sigs = spark.createDataFrame(
+        [("a0", a0), ("b1", b1), ("b2", b2)], "conv_id string, simhash long")
+    edges = simhash_candidate_edges(sigs, num_blocks=4)
+    kept = {(r["src"], r["dst"])
+            for r in simhash_verified_edges(edges, sigs, 3).collect()}
+    assert ("b2", "b1") in kept
+    assert all("a0" not in e for e in kept)
