@@ -179,13 +179,17 @@ def q_doc_assembly_roundtrip(spark, sf_dir):
 
 
 def q_containment_pairs(spark, sf_dir):
-    """Suffix-array exact-substring containment over normalized text."""
+    """Suffix-array exact-substring containment over normalized text —
+    DISTRIBUTED scope (winnowing collocation, substring.py module doc):
+    no coalesce(1) anywhere. kgram=8/window=32 sizes the exactness
+    guarantee to cleaned length >= 39, below this corpus's minimum doc
+    length (44), so the distributed result equals the global one."""
     from minhash_rs_spark.operators.substring import containment_edges
 
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.coalesce("text", F.lit("")).alias("doc_text"))
-    edges = containment_edges(docs, scope="global")
+    edges = containment_edges(docs, scope="distributed", kgram=8, window=32)
     return edges.select(F.col("src").cast("long").alias("contained_id"),
                         F.col("dst").cast("long").alias("container_id"))
 
@@ -250,6 +254,25 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return out.select(F.col("query_id").cast("long").alias("query_id"),
                       F.col("neighbor_id").cast("long").alias("neighbor_id"),
                       F.col("rank").cast("long").alias("rank"))
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Scale path for near-dup pairs: multi-table random-hyperplane
+    sign-LSH candidates + exact cosine verification — no cartesian
+    product in the plan. Rows-only driver check (the random projections
+    bucket on float32 sign boundaries, which an independent SQL engine
+    cannot reproduce bit-stably); recall >= 0.99 vs the brute-force
+    oracle is gated in tests/test_operators.py
+    (test_cosine_near_dup_lsh_recall_and_no_cartesian), and the
+    closed-form bound lives in similarity.lsh_pair_recall. Parameters
+    here are sized for the low-threshold regime of the driver data
+    (cos 0.45: n_bits=4, 32 tables -> bound 0.998)."""
+    from minhash_rs_spark.operators.similarity import cosine_near_dup_pairs
+
+    out = cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45,
+                                method="lsh", n_bits=4, num_tables=32)
+    return out.select(F.col("vec_a").cast("long").alias("vec_a"),
+                      F.col("vec_b").cast("long").alias("vec_b"))
 
 
 # ---- non-SQL-expressible (MinHash/SimHash kernels, iterative CC):
@@ -391,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         # non-SQL-expressible: rows-only checks
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_signatures": q_minhash_signatures,
         "minhash_clusters": q_minhash_clusters,
         "minhash_clusters_verified": q_minhash_clusters_verified,

@@ -2,16 +2,21 @@
 array<float> — brute-force cosine top-k baseline + an LSH-bucketed
 scale path).
 
-Everything is JVM-side (zip_with/aggregate dot products) — no Python in
-the scoring loop. At 100 TB scale:
+Scoring is JVM-side (zip_with/aggregate dot products); bucketing is one
+batched numpy matmul per Arrow batch. At 100 TB scale:
   - brute-force: broadcast the (small) query set, scan candidates once,
     per-partition top-k via window; O(|Q| * N) dot products but a single
-    pass, no shuffle of the big side until the final top-k agg.
-  - sign-LSH: bucket vectors by the sign pattern of `n_bits` leading
-    components (a fixed public hyperplane family: the axis planes);
-    candidates are same-bucket only — a coarse IVF-style route that cuts
-    the scored pairs by ~2^n_bits at some recall cost (measured in
-    tests/test_similarity.py).
+    pass, no shuffle of the big side until the final top-k agg. The
+    all-pairs variant (cosine_near_dup_pairs method="brute") is the
+    exact small-scale baseline only.
+  - multi-table random-hyperplane sign-LSH (Charikar 2002): num_tables
+    independent tables of n_bits random projections; candidates are
+    same-(table, bucket) pairs, cosine-verified. Recall bound is
+    closed-form (lsh_pair_recall) so parameters are sized per regime
+    instead of guessed. This is the scale path for both near-dup pairs
+    and ann_topk.
+  - lsh_topk (axis-plane single table) is kept as the simplest
+    oracle-expressible sketch; ann_topk supersedes it at scale.
 """
 
 from __future__ import annotations
@@ -78,16 +83,183 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 50,
 
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          method: str = "brute",
+                          n_bits: int = 8, num_tables: int = 16,
+                          seed: int = 0,
+                          max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (task brief): all (a < b)
-    pairs with cosine >= threshold. Brute-force O(n^2) scoring — the
-    exact baseline; route through lsh_topk buckets for the approximate
-    scale path. Output ids only (vec_a, vec_b): float scores stay
-    engine-internal so downstream equality checks never compare floats.
+    pairs with cosine >= threshold. Output ids only (vec_a, vec_b):
+    float scores stay engine-internal so downstream equality checks
+    never compare floats.
+
+    method="brute": exact O(n^2) scoring — the small-scale baseline and
+    the oracle for the LSH path's recall tests. Dead at 100x scale.
+
+    method="lsh": multi-table random-hyperplane sign-LSH — the scale
+    path. Each of num_tables tables buckets a vector by the sign
+    pattern of n_bits random projections; candidates are same-(table,
+    bucket) pairs only, each verified by exact cosine. No cartesian
+    product anywhere in the plan. Per-pair recall at angle theta is
+    1 - (1 - (1 - theta/pi)^n_bits)^num_tables — use lsh_pair_recall()
+    to size (n_bits, num_tables) for a target threshold: high-cosine
+    regimes (true near-dups, cos >= 0.9) reach ~1.0 recall with the
+    defaults; low thresholds need fewer bits / more tables and
+    eventually favor brute (hyperplane LSH cannot cheaply separate
+    cos ~ 0.45 from random — the candidate volume approaches n^2).
+
+    max_bucket: optional skew guard — (table, bucket) groups larger
+    than this are dropped from candidate generation (a degenerate
+    all-zeros embedding crowd would otherwise produce a quadratic
+    bucket). At scale, size n_bits so E[bucket] = N / 2^n_bits stays
+    in the hundreds instead.
     """
-    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-    return (a.crossJoin(b)
-            .where(F.col("vec_a") < F.col("vec_b"))
+    if method == "brute":
+        a = embeddings.select(F.col(id_col).alias("vec_a"),
+                              F.col(vec_col).alias("va"))
+        b = embeddings.select(F.col(id_col).alias("vec_b"),
+                              F.col(vec_col).alias("vb"))
+        return (a.crossJoin(b)
+                .where(F.col("vec_a") < F.col("vec_b"))
+                .where(cosine_expr(F.col("va"), F.col("vb")) >= F.lit(threshold))
+                .select("vec_a", "vec_b"))
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+
+    dim = _infer_dim(embeddings, vec_col)
+    planes = hyperplanes(dim, n_bits, num_tables, seed)
+    buckets = hyperplane_buckets(embeddings, planes, n_bits, num_tables,
+                                 id_col, vec_col)
+    if max_bucket is not None:
+        sizes = (buckets.groupBy("table_id", "bucket")
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .where(F.col("cnt") <= max_bucket)
+                 .select("table_id", "bucket"))
+        buckets = buckets.join(sizes, ["table_id", "bucket"])
+    cand = (buckets.alias("x")
+            .join(buckets.alias("y"), ["table_id", "bucket"])
+            .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(F.col(f"x.{id_col}").alias("vec_a"),
+                    F.col(f"y.{id_col}").alias("vec_b"))
+            .distinct())
+    e = embeddings.select(F.col(id_col), F.col(vec_col))
+    return (cand
+            .join(e.select(F.col(id_col).alias("vec_a"),
+                           F.col(vec_col).alias("va")), "vec_a")
+            .join(e.select(F.col(id_col).alias("vec_b"),
+                           F.col(vec_col).alias("vb")), "vec_b")
             .where(cosine_expr(F.col("va"), F.col("vb")) >= F.lit(threshold))
             .select("vec_a", "vec_b"))
+
+
+# ---------------------------------------------------------------------
+# multi-table random-hyperplane sign-LSH (the real ANN index)
+
+
+def hyperplanes(dim: int, n_bits: int, num_tables: int, seed: int = 0):
+    """Deterministic random projection planes: (num_tables * n_bits, dim)
+    float32, standard normal (Charikar 2002 sign-LSH family)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((num_tables * n_bits, dim)).astype(np.float32)
+
+
+def lsh_pair_recall(cos_threshold: float, n_bits: int,
+                    num_tables: int) -> float:
+    """Probability that a pair AT the cosine threshold shares at least
+    one (table, bucket) — the documented recall lower bound for every
+    pair above the threshold (collision probability is monotone in
+    cosine)."""
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, cos_threshold)))
+    p_bit = 1.0 - theta / math.pi
+    return 1.0 - (1.0 - p_bit ** n_bits) ** num_tables
+
+
+def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
+    row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError("cannot infer embedding dimension")
+    return int(row["d"])
+
+
+def hyperplane_buckets(embeddings: DataFrame, planes, n_bits: int,
+                       num_tables: int, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, table_id, bucket): one row per
+    table. The projection is one batched numpy matmul per Arrow batch
+    (mapInArrow, flat-buffer zero-copy in) — no per-row Python, no JVM
+    expression blowup (n_bits * num_tables * dim literals would
+    otherwise be folded into the plan)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("table_id", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ])
+    planes_t = planes.T.copy()  # (dim, T*b) for row-major matmul
+    powers = (1 << np.arange(n_bits - 1, -1, -1, dtype=np.int64))
+
+    def fn(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            lst = rb.column(1)
+            if isinstance(lst, pa.ChunkedArray):  # pragma: no cover
+                lst = lst.combine_chunks()
+            offs = lst.offsets.to_numpy(zero_copy_only=False)
+            flat = lst.values.to_numpy(zero_copy_only=False)
+            dim = planes_t.shape[0]
+            E = flat[offs[0]:offs[-1]].reshape(n, dim).astype(np.float32)
+            signs = (E @ planes_t) >= 0  # (n, T*b)
+            buckets = (signs.reshape(n, -1, n_bits).astype(np.int64)
+                       @ powers)  # (n, T)
+            num_t = buckets.shape[1]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(ids, num_t)),
+                 pa.array(np.tile(np.arange(num_t, dtype=np.int32), n)),
+                 pa.array(buckets.reshape(-1))],
+                names=[id_col, "table_id", "bucket"])
+
+    return (embeddings.select(F.col(id_col).cast("long").alias(id_col),
+                              F.col(vec_col))
+            .mapInArrow(fn, out_schema))
+
+
+def ann_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 50,
+             n_bits: int = 8, num_tables: int = 16, seed: int = 0,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k through the multi-table index: candidates =
+    union over tables of same-bucket rows (distinct), then exact cosine
+    + windowed rank. Supersedes lsh_topk's single-table axis-plane
+    sketch as the scale path."""
+    dim = _infer_dim(embeddings, vec_col)
+    planes = hyperplanes(dim, n_bits, num_tables, seed)
+    buckets = hyperplane_buckets(embeddings, planes, n_bits, num_tables,
+                                 id_col, vec_col)
+    q = buckets.where(F.pmod(F.col(id_col), F.lit(query_mod)) == 0)
+    cand = (q.select(F.col(id_col).alias("query_id"), "table_id", "bucket")
+            .join(buckets.select(F.col(id_col).alias("neighbor_id"),
+                                 "table_id", "bucket"),
+                  ["table_id", "bucket"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct())
+    e = embeddings.select(F.col(id_col).cast("long").alias(id_col),
+                          F.col(vec_col))
+    scored = (cand
+              .join(e.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("qv")), "query_id")
+              .join(e.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("cv")), "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      cosine_expr(F.col("qv"), F.col("cv")).alias("cos_sim")))
+    return _ranked_topk(scored, k)

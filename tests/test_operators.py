@@ -382,3 +382,100 @@ def test_simhash_pair_edges_outlier_block_min(spark):
             for r in simhash_verified_edges(edges, sigs, 3).collect()}
     assert ("b2", "b1") in kept
     assert all("a0" not in e for e in kept)
+
+
+def test_cosine_near_dup_lsh_recall_and_no_cartesian(spark):
+    """The scale path for embedding near-dup pairs: planted high-cosine
+    near-dups (the regime LSH exists for) must be recovered vs the
+    brute-force oracle at the closed-form recall bound, and the plan
+    must contain no cartesian/nested-loop join."""
+    import numpy as np
+
+    from minhash_rs_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        lsh_pair_recall,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((150, 32)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 3 == 0:  # plant a near-dup at cos ~0.97
+            nv = v + 0.15 * rng.standard_normal(32).astype(np.float32)
+            rows.append((1000 + i, [float(x) for x in nv]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    thr = 0.9
+    assert lsh_pair_recall(thr, 8, 32) > 0.999  # parameter sizing sanity
+    brute = {tuple(r) for r in cosine_near_dup_pairs(
+        emb, thr, method="brute").collect()}
+    lsh = cosine_near_dup_pairs(emb, thr, method="lsh",
+                                n_bits=8, num_tables=32)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {tuple(r) for r in lsh.collect()}
+    assert got <= brute  # cosine-verified: no false positives ever
+    assert len(brute) >= 40
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.99, f"lsh recall {recall:.3f}"
+
+
+def test_ann_topk_matches_brute_on_planted(spark):
+    """ann_topk must return the true nearest neighbor for vectors that
+    have a planted near-identical twin."""
+    import numpy as np
+
+    from minhash_rs_spark.operators.similarity import (
+        ann_topk,
+        brute_force_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(100):
+        v = rng.standard_normal(32).astype(np.float32)
+        rows.append((i * 2, [float(x) for x in v]))      # queries: even ids
+        nv = v + 0.1 * rng.standard_normal(32).astype(np.float32)
+        rows.append((i * 2 + 1, [float(x) for x in nv]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf = {r["query_id"]: r["neighbor_id"]
+          for r in brute_force_topk(emb, k=1, query_mod=2).collect()}
+    ann = {r["query_id"]: r["neighbor_id"]
+           for r in ann_topk(emb, k=1, query_mod=2,
+                             n_bits=8, num_tables=16).collect()}
+    hits = sum(1 for q, n in bf.items() if ann.get(q) == n)
+    assert hits / len(bf) >= 0.99, f"ann@1 {hits}/{len(bf)}"
+
+
+def test_containment_distributed_cross_partition(spark, docs, tiny_corpus):
+    """The round-1 scale-killer: distributed containment must find pairs
+    whose contained/container docs start in DIFFERENT input partitions
+    (global scope = coalesce(1) is no longer the only exact path)."""
+    from minhash_rs_spark.operators.substring import containment_edges
+
+    _, pairs = tiny_corpus
+    planted = pairs[pairs["kind"] == "containment"]
+    assert len(planted) > 0
+    # adversarial partitioning: spread docs so planted pairs split
+    spread = docs.repartition(8, "conv_id")
+    found = {(r["src"], r["dst"])
+             for r in containment_edges(spread, scope="distributed",
+                                        kgram=8, window=16).collect()}
+    for _, row in planted.iterrows():
+        a, b = row["conv_id_a"], row["conv_id_b"]
+        assert (a, b) in found, (a, b)
+    # and distributed == global within the documented guarantee (cleaned
+    # containee length >= window + kgram - 1; the tiny 'd_short'/'d_short2'
+    # degenerate docs sit below it by design)
+    from minhash_rs_spark.functions.kernel import clean_text
+
+    texts = {r["conv_id"]: r["doc_text"] for r in docs.collect()}
+    min_len = 16 + 8 - 1
+    g = {(r["src"], r["dst"])
+         for r in containment_edges(docs, scope="global").collect()
+         if len(clean_text(texts[r["src"]] or "")) >= min_len}
+    assert found >= g
+    assert found <= {(r["src"], r["dst"])
+                     for r in containment_edges(docs, scope="global").collect()}
