@@ -256,6 +256,44 @@ def q_embedding_lsh_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_streaming_exact_dedup(spark, sf_dir):
+    """Structured Streaming executed FOR REAL inside the driver check:
+    the documents table is read with readStream, pushed through
+    streaming_exact_dedup (128-bit fingerprint dropDuplicatesWithin-
+    Watermark), written to a memory sink with an availableNow trigger,
+    and the surviving distinct-text fingerprints are returned — which
+    must equal the batch exact-dedup oracle (DISTINCT text) exactly.
+    Event time is pinned to one instant so watermark expiry cannot
+    race batch boundaries: survivors == set of distinct texts,
+    deterministic regardless of arrival order."""
+    import uuid
+
+    from minhash_rs_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    # the streaming file source requires a directory: stage a symlink
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
+    stream = (spark.readStream.schema(schema).parquet(src_dir)
+              .withColumn("ts", F.lit("2024-01-01 00:00:00")
+                          .cast("timestamp")))
+    deduped = streaming_exact_dedup(stream, text_col="text", ts_col="ts")
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (deduped
+         .select(F.md5(F.coalesce(F.col("text"), F.lit("")))
+                 .alias("text_md5"))
+         .writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", f"/tmp/stream_ck/{name}")
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Scale path for near-dup pairs: multi-table random-hyperplane
     sign-LSH candidates + exact cosine verification — no cartesian
@@ -413,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "streaming_exact_dedup": q_streaming_exact_dedup,
         # non-SQL-expressible: rows-only checks
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_signatures": q_minhash_signatures,
@@ -643,6 +682,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "streaming_exact_dedup": """
+            SELECT md5(text_n) AS text_md5
+            FROM (SELECT DISTINCT coalesce(text, '') AS text_n
+                  FROM documents)
         """,
         "embedding_lsh_topk": """
             WITH b AS (

@@ -31,7 +31,9 @@ class MinHashConfig:
                           conversation turns, ref src/main.rs:506-516)
         annotate_only  -> annotate_only
         exact_override -> exact_override (one doc-level hash replicated
-                          to all perms, ref src/main.rs:522-533)
+                          to all perms, ref src/main.rs:522-533; NOTE
+                          the reference's boolean is inverted relative
+                          to its name — see from_reference_dict)
     New (Spark-native / north rule):
         jaccard_threshold  exact-Jaccard verification of LSH candidate
                            pairs before union (promotes the reference's
@@ -102,6 +104,16 @@ class MinHashConfig:
 
     @classmethod
     def from_reference_dict(cls, raw: dict) -> "MinHashConfig":
+        """Translate a reference YAML config.
+
+        BOOLEAN SENSE of exact_override: in the reference the flag is
+        INVERTED relative to its name — `exact_override: false` (the
+        serde default, and what examples/simple_exact/config.yaml
+        relies on) takes the `else` branch of src/main.rs:522-533,
+        i.e. ONE doc-level hash_object replicated to every permutation
+        (exact dedup); `exact_override: true` runs the tokenized ngram
+        MinHash. Our field uses the plain reading (True = exact
+        doc-hash mode), so the translation must negate."""
         tok = raw.get("tokenizer_str", "words")
         tok_map = {"uniseg": "words", "": "bytes"}
         return cls(
@@ -110,6 +122,6 @@ class MinHashConfig:
             ngram_size=raw.get("ngram_size", 5),
             tokenizer=tok_map.get(tok, tok),
             hash_seed=raw.get("hash_seed", 0),
-            exact_override=raw.get("exact_override", False),
+            exact_override=not raw.get("exact_override", False),
             annotate_only=raw.get("annotate_only", True),
         )

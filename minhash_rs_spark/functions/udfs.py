@@ -7,8 +7,10 @@ mapInPandas / pandas_udf only, no per-row Python:
   band_signature_rows(...) shingles -> exploded (band_id, sig_hi, sig_lo)
                            rows (H1-H5), explosion done batch-side in
                            numpy (np.repeat/tile), not via Spark explode
-  jaccard_udf              exact Jaccard of two shingle arrays (J6)
-  simhash_udf              64-bit SimHash of a shingle array (north rule)
+  with_jaccard(df, a, b)   exact Jaccard of two shingle-array columns
+                           (J6) — batch lexsort + adjacent-dup count
+  with_simhash(df, col)    64-bit SimHash of a shingle-array column
+                           (north rule) — batch unpackbits + reduceat
 
 u64 <-> int64: Spark LongType is signed; we reinterpret bits with
 ndarray.view / .astype copies — values round-trip exactly.
@@ -24,10 +26,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from minhash_rs_spark.config import MinHashConfig
-from minhash_rs_spark.functions.kernel import SignatureKernel, jaccard_u64
+from minhash_rs_spark.functions.kernel import SignatureKernel
 
 SHINGLES_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType(), False),
@@ -262,32 +263,116 @@ def band_signature_rows_exact(docs: DataFrame, cfg: MinHashConfig,
     return docs.select("conv_id", text_col).mapInPandas(fn, SIG_SCHEMA)
 
 
-@pandas_udf(T.DoubleType())
-def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Exact Jaccard over two array<long> shingle columns
-    (ref: jaccard_similarity src/main.rs:1673-1677)."""
-    out = np.empty(len(a), dtype=np.float64)
-    for i in range(len(a)):
-        out[i] = jaccard_u64(np.asarray(a.iloc[i], dtype=np.int64).view(np.uint64),
-                             np.asarray(b.iloc[i], dtype=np.int64).view(np.uint64))
-    return pd.Series(out)
+def _batch_jaccard(a_flat, a_starts, b_flat, b_starts, n):
+    """Vectorized per-row exact Jaccard of n (sorted-unique) set pairs
+    given as flat value buffers + row starts. No per-row Python: tag
+    every value with its row id, sort (row, value) records across BOTH
+    sides at once, and count adjacent duplicates per row — a value
+    appears twice within a row iff it is in the intersection (each
+    side's set has no internal duplicates)."""
+    a_lens = np.empty(n, dtype=np.int64)
+    a_lens[:-1] = a_starts[1:] - a_starts[:-1]
+    a_lens[-1] = len(a_flat) - a_starts[-1]
+    b_lens = np.empty(n, dtype=np.int64)
+    b_lens[:-1] = b_starts[1:] - b_starts[:-1]
+    b_lens[-1] = len(b_flat) - b_starts[-1]
+
+    rows = np.concatenate([np.repeat(np.arange(n), a_lens),
+                           np.repeat(np.arange(n), b_lens)])
+    vals = np.concatenate([a_flat, b_flat])
+    order = np.lexsort((vals, rows))
+    rows_s, vals_s = rows[order], vals[order]
+    dup = (rows_s[1:] == rows_s[:-1]) & (vals_s[1:] == vals_s[:-1])
+    inter = np.zeros(n, dtype=np.int64)
+    np.add.at(inter, rows_s[1:][dup], 1)
+    union = a_lens + b_lens - inter
+    out = np.zeros(n, dtype=np.float64)
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    # both sets empty -> Jaccard 1.0 (identical empties), matching the
+    # scalar kernel jaccard_u64
+    out[~nz] = 1.0
+    return out
 
 
-@pandas_udf(T.LongType())
-def simhash_udf(shingles: pd.Series) -> pd.Series:
-    """64-bit SimHash from a shingle-id array: per-bit majority vote of
-    the (already uniformly mixed) shingle hashes. North-rule addition —
-    no reference counterpart."""
-    out = np.empty(len(shingles), dtype=np.int64)
-    for i in range(len(shingles)):
-        s = np.asarray(shingles.iloc[i], dtype=np.int64).view(np.uint64)
-        if len(s) == 0:
-            out[i] = 0
-            continue
-        bits = np.unpackbits(s.view(np.uint8)).reshape(len(s), 64)
-        votes = bits.sum(axis=0) * 2 >= len(s)  # >= : ties set the bit
-        out[i] = np.packbits(votes.astype(np.uint8)).view(np.int64)[0]
-    return pd.Series(out)
+def with_jaccard(df: DataFrame, a_col: str, b_col: str,
+                 out_col: str = "jaccard") -> DataFrame:
+    """Append exact Jaccard of two array<long> shingle columns, dropping
+    them (ref: jaccard_similarity src/main.rs:1673-1677). mapInArrow on
+    flat buffers — replaces the per-row pandas_udf loop the round-1
+    review flagged; all other columns pass through untouched."""
+    import pyarrow as pa
+
+    keep = [f for f in df.schema.fields if f.name not in (a_col, b_col)]
+    out_schema = T.StructType(keep + [T.StructField(out_col,
+                                                    T.DoubleType(), False)])
+    keep_names = [f.name for f in keep]
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            cols = {name: rb.column(i)
+                    for i, name in enumerate(rb.schema.names)}
+            a_flat, a_starts = _list_flat(cols[a_col], pa)
+            b_flat, b_starts = _list_flat(cols[b_col], pa)
+            jac = _batch_jaccard(a_flat, a_starts, b_flat, b_starts, n)
+            yield pa.RecordBatch.from_arrays(
+                [cols[k] for k in keep_names] + [pa.array(jac)],
+                names=keep_names + [out_col])
+
+    return df.mapInArrow(fn, out_schema)
+
+
+def with_simhash(df: DataFrame, shingles_col: str = "shingles",
+                 out_col: str = "simhash") -> DataFrame:
+    """Append the 64-bit SimHash (per-bit majority vote over the
+    already-uniform shingle hashes; ties set the bit) and drop the
+    shingle column. Batch-vectorized: one unpackbits over the flat
+    value buffer + segmented sums via add.reduceat — no per-row Python.
+    North-rule addition, no reference counterpart."""
+    import pyarrow as pa
+
+    keep = [f for f in df.schema.fields if f.name != shingles_col]
+    out_schema = T.StructType(keep + [T.StructField(out_col,
+                                                    T.LongType(), False)])
+    keep_names = [f.name for f in keep]
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            cols = {name: rb.column(i)
+                    for i, name in enumerate(rb.schema.names)}
+            flat, starts = _list_flat(cols[shingles_col], pa)
+            lens = np.empty(n, dtype=np.int64)
+            lens[:-1] = starts[1:] - starts[:-1]
+            lens[-1] = len(flat) - starts[-1]
+            sig = np.zeros(n, dtype=np.uint64)
+            nz = lens > 0
+            if nz.any():
+                # bits: (total_values, 64) 0/1; little-endian byte order
+                # within each u64 — consistent across rows, so the vote
+                # per bit position is well-defined
+                bits = np.unpackbits(flat.view(np.uint8)).reshape(-1, 64)
+                # segment only over non-empty rows: their starts are
+                # strictly increasing, in-bounds, and contiguous (empty
+                # rows contribute no values), which is exactly what
+                # reduceat requires
+                sums_nz = np.add.reduceat(bits, starts[nz], axis=0)
+                sums = np.zeros((n, 64), dtype=sums_nz.dtype)
+                sums[nz] = sums_nz
+                votes = (sums * 2 >= lens[:, None]) & nz[:, None]
+                sig = np.packbits(votes.astype(np.uint8),
+                                  axis=1).view(np.uint64).reshape(-1)
+            yield pa.RecordBatch.from_arrays(
+                [cols[k] for k in keep_names]
+                + [pa.array(sig.view(np.int64))],
+                names=keep_names + [out_col])
+
+    return df.mapInArrow(fn, out_schema)
 
 
 def cosine_expr(a, b):

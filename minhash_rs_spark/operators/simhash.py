@@ -30,15 +30,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from minhash_rs_spark.functions.udfs import simhash_udf
+from minhash_rs_spark.functions.udfs import with_simhash
 from minhash_rs_spark.operators.connected_components import connected_components
 
 BLOCK_KEY = ["block_id", "block_val"]
 
 
 def simhash_signatures(shingles: DataFrame) -> DataFrame:
-    """(conv_id, shingles) -> (conv_id, simhash: long)."""
-    return shingles.select("conv_id", simhash_udf(F.col("shingles")).alias("simhash"))
+    """(conv_id, shingles) -> (conv_id, simhash: long) — batch-vectorized
+    mapInArrow (udfs.with_simhash), no per-row Python."""
+    return with_simhash(shingles.select("conv_id", "shingles"),
+                        "shingles", "simhash")
 
 
 def _block_rows(sigs: DataFrame, num_blocks: int) -> DataFrame:

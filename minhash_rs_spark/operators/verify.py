@@ -16,21 +16,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from minhash_rs_spark.functions.udfs import jaccard_udf
+from minhash_rs_spark.functions.udfs import with_jaccard
 
 
 def edges_with_jaccard(edges: DataFrame, shingles: DataFrame) -> DataFrame:
-    """(src, dst) + shingle sets -> (src, dst, jaccard)."""
+    """(src, dst) + shingle sets -> (src, dst, jaccard). Scoring is a
+    batch-vectorized mapInArrow over flat buffers (udfs.with_jaccard) —
+    no per-row Python."""
     sh = shingles.select("conv_id", "shingles")
-    return (
+    joined = (
         edges
         .join(sh.select(F.col("conv_id").alias("src"),
                         F.col("shingles").alias("sh_src")), "src")
         .join(sh.select(F.col("conv_id").alias("dst"),
                         F.col("shingles").alias("sh_dst")), "dst")
-        .select("src", "dst",
-                jaccard_udf(F.col("sh_src"), F.col("sh_dst")).alias("jaccard"))
+        .select("src", "dst", "sh_src", "sh_dst")
     )
+    return with_jaccard(joined, "sh_src", "sh_dst", "jaccard")
 
 
 def verified_edges(edges: DataFrame, shingles: DataFrame,
@@ -52,7 +54,7 @@ def intra_cluster_jaccards(assignments: DataFrame, shingles: DataFrame) -> DataF
                     F.col("shingles").alias("sh_a"))
     b = cand.select("cc_id", F.col("conv_id").alias("conv_id_b"),
                     F.col("shingles").alias("sh_b"))
-    return (a.join(b, "cc_id")
-            .where(F.col("conv_id_a") < F.col("conv_id_b"))
-            .select("cc_id", "conv_id_a", "conv_id_b",
-                    jaccard_udf(F.col("sh_a"), F.col("sh_b")).alias("jaccard")))
+    joined = (a.join(b, "cc_id")
+              .where(F.col("conv_id_a") < F.col("conv_id_b"))
+              .select("cc_id", "conv_id_a", "conv_id_b", "sh_a", "sh_b"))
+    return with_jaccard(joined, "sh_a", "sh_b", "jaccard")

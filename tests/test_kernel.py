@@ -150,3 +150,70 @@ def test_flat_rolling_and_unique_match_per_doc():
                               H.rolling_poly_hashes(d, 5))
         assert np.array_equal(u_flat[u_starts[i]:uends[i]],
                               np.unique(H.rolling_poly_hashes(d, 5)))
+
+
+def test_with_jaccard_matches_scalar_kernel(spark):
+    """Vectorized batch Jaccard (lexsort + adjacent-dup count) must be
+    bit-identical to the scalar jaccard_u64 on random sets incl. empties."""
+    import numpy as np
+
+    from minhash_rs_spark.functions.kernel import jaccard_u64
+    from minhash_rs_spark.functions.udfs import with_jaccard
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(200):
+        na, nb = rng.randint(0, 12, size=2)
+        a = np.unique(rng.randint(0, 30, size=na).astype(np.int64))
+        # overlap with a sometimes
+        b = np.unique(np.concatenate(
+            [rng.randint(0, 30, size=nb), a[:rng.randint(0, len(a) + 1)]]
+        ).astype(np.int64)) if na or nb else np.array([], dtype=np.int64)
+        rows.append((i, [int(x) for x in a], [int(x) for x in b]))
+    df = spark.createDataFrame(rows, "id long, a array<long>, b array<long>")
+    got = {r["id"]: r["j"] for r in with_jaccard(df, "a", "b", "j").collect()}
+    for i, a, b in rows:
+        want = jaccard_u64(np.array(a, dtype=np.int64).view(np.uint64),
+                           np.array(b, dtype=np.int64).view(np.uint64))
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_with_simhash_matches_rowwise(spark):
+    """Vectorized simhash (reduceat) == per-row unpackbits majority vote."""
+    import numpy as np
+
+    from minhash_rs_spark.functions.udfs import with_simhash
+
+    def rowwise(vals):
+        s = np.array(vals, dtype=np.int64).view(np.uint64)
+        if len(s) == 0:
+            return 0
+        bits = np.unpackbits(s.view(np.uint8)).reshape(len(s), 64)
+        votes = bits.sum(axis=0) * 2 >= len(s)
+        return int(np.packbits(votes.astype(np.uint8)).view(np.int64)[0])
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [int(x) for x in
+                 rng.randint(-2**62, 2**62, size=rng.randint(0, 20))])
+            for i in range(100)]
+    rows.append((100, []))          # leading/trailing empties
+    rows.insert(0, (-1, []))
+    df = spark.createDataFrame(rows, "id long, shingles array<long>")
+    got = {r["id"]: r["simhash"]
+           for r in with_simhash(df, "shingles").collect()}
+    for i, vals in rows:
+        assert got[i] == rowwise(vals), i
+
+
+def test_reference_config_exact_override_sense():
+    """The reference's exact_override boolean is inverted relative to
+    its name (src/main.rs:522-533: false -> doc-level hash_object,
+    true -> ngram MinHash; examples/simple_exact/config.yaml performs
+    exact dedup WITHOUT setting the flag). Translation must negate."""
+    from minhash_rs_spark.config import MinHashConfig
+
+    # reference default (simple_exact example) = exact doc-hash mode
+    assert MinHashConfig.from_reference_dict({}).exact_override is True
+    # reference exact_override: true = fuzzy ngram MinHash
+    assert MinHashConfig.from_reference_dict(
+        {"exact_override": True}).exact_override is False
