@@ -23,10 +23,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def host_alloc_gbs() -> float:
+    """Fresh-page allocation bandwidth (GB/s), touching every 4 KiB
+    page of a new 1 GB buffer. This VM's memory subsystem intermittently
+    degrades host-side (measured 0.1-2.5 GB/s vs ~9+ healthy, identical
+    commits varying 118 s vs 547 s — see BENCH/BASELINE.md); reporting
+    it IN-BAND lets a reader attribute wall-clock swings to the host,
+    not the engine."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.zeros(1_000_000_000 // 8, dtype=np.int64)
+    a[::512] = 1
+    return round(1.0 / (time.time() - t0), 2)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    alloc_gbs = host_alloc_gbs()
 
     import __spark_entry__ as entrymod
     from minhash_rs_spark.session import get_spark
@@ -96,6 +112,8 @@ def main():
         "sf_turns": n_turns,
         "flagship_sec": flagship,
         "turns_per_sec": round(n_big / flagship, 1) if flagship else None,
+        "host_alloc_gbs": alloc_gbs,
+        "host_alloc_gbs_after": host_alloc_gbs(),
     }
     spark.stop()
     print(json.dumps(out))

@@ -52,6 +52,13 @@ def main(argv=None):
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--master", default=None)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--annotations", default=None,
+                   help="dup-aware-subsample only: parquet of a PRIOR "
+                        "run's annotated output (turns with the "
+                        "minhash struct) or assignments table — skips "
+                        "recomputing the pipeline, exactly like the "
+                        "reference running over annotated files "
+                        "(src/dup_aware_subsample.rs:70-113)")
     p.add_argument("--subsample-rate", type=float, default=None)
     p.add_argument("--max-cc-size", type=int, default=None)
     p.add_argument("--jaccard-threshold", type=float, default=None)
@@ -88,11 +95,29 @@ def main(argv=None):
         res.output.write.mode("overwrite").parquet(args.output)
         print(json.dumps(res.collect_stats()))
     elif args.command == "dup-aware-subsample":
-        from minhash_rs_spark.operators.annotate import prune_turns
         from minhash_rs_spark.operators.subsample import dup_aware_subsample
 
-        res = run_minhash(spark, turns, cfg, input_token=args.input)
-        kept = dup_aware_subsample(res.assignments, cfg.subsample_rate,
+        if args.annotations:
+            # standalone over a prior run's annotations (reference
+            # behavior: src/dup_aware_subsample.rs:70-113) — no pipeline
+            # recompute. Accepts either the annotated turns table (with
+            # the minhash struct) or a bare assignments table.
+            prior = spark.read.parquet(args.annotations)
+            from pyspark.sql import functions as F
+            if "minhash" in prior.columns:
+                assignments = (prior.select(
+                    F.col(cfg.conv_col).alias("conv_id"),
+                    F.col("minhash.cc_id").alias("cc_id"),
+                    F.col("minhash.cc_size").alias("cc_size"),
+                    F.col("minhash.cc_idx").alias("cc_idx"))
+                    .dropDuplicates(["conv_id"]))
+            else:
+                assignments = prior.select("conv_id", "cc_id",
+                                           "cc_size", "cc_idx")
+        else:
+            assignments = run_minhash(spark, turns, cfg,
+                                      input_token=args.input).assignments
+        kept = dup_aware_subsample(assignments, cfg.subsample_rate,
                                    cfg.max_cc_size, cfg.subsample_seed)
         surviving = kept.select("conv_id")
         out = turns.join(surviving.withColumnRenamed("conv_id", cfg.conv_col),

@@ -28,6 +28,16 @@ _PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
 _PUNCT_TABLE = str.maketrans("", "", _PUNCT)
 _WS_RE = re.compile(r"\s+")
 
+# UAX#29 (the reference's uniseg tokenizer, src/main.rs:352-358) treats
+# each CJK ideograph / kana / hangul syllable as its own word; plain
+# whitespace splitting would keep runs glued. Shared by the Python and
+# JVM tokenizers so both split identically (parity-tested).
+CJK_RANGES = ("一-鿿"    # CJK Unified Ideographs
+              "㐀-䶿"    # CJK Extension A
+              "぀-ヿ"    # Hiragana + Katakana
+              "가-힯")   # Hangul syllables
+_CJK_SPLIT_RE = re.compile(f"([{CJK_RANGES}])")
+
 
 def clean_text(text: str) -> str:
     """Lowercase -> strip ASCII punctuation -> collapse whitespace -> trim."""
@@ -39,7 +49,8 @@ def tokenize(cleaned: str, mode: str, cache: dict | None = None) -> np.ndarray:
     """Token-hash sequence (u64) for cleaned text.
 
     Modes (ref: OmniTokenizer /root/reference/src/main.rs:327-366):
-      words  — whitespace-delimited words, each stably hashed
+      words  — whitespace-delimited words with CJK ideographs split per
+               character (UAX#29 behavior), each stably hashed
                (analog of uniseg word-bounds + SipHash; divergence: we do
                not emit whitespace segments as tokens)
       bytes  — raw UTF-8 byte values as token ids (reference default arm)
@@ -48,7 +59,11 @@ def tokenize(cleaned: str, mode: str, cache: dict | None = None) -> np.ndarray:
     if mode == "words":
         if not cleaned:
             return np.empty(0, dtype=U64)
-        toks = cleaned.split(" ")
+        if _CJK_SPLIT_RE.search(cleaned):
+            cleaned = _CJK_SPLIT_RE.sub(r" \1 ", cleaned)
+        toks = [t for t in cleaned.split(" ") if t]
+        if not toks:
+            return np.empty(0, dtype=U64)
         # token hash = xxHash64(utf8, seed 42) — EXACTLY Spark's
         # xxhash64(), so the JVM tokenization path (doc_assembly.
         # assemble_token_docs, codegen) and this Python path produce

@@ -17,8 +17,11 @@ that surface onto the engine's transcripts model:
                                     (consecutive lines, same key tuple
                                     -> one doc, ref src/main.rs:506-516)
 
-Compressed variants: Spark's json reader handles .gz natively; .zst
-depends on the cluster's codecs (available in stock Spark 4).
+Compressed variants: .gz is handled natively by Spark's text reader
+(roundtrip-tested in tests/test_sources.py). .zst requires Hadoop's
+native ZStandardCodec, which this container lacks (no native-hadoop
+libs) — the gate is asserted in the same test; on a real cluster with
+libhadoop the reader works unchanged.
 """
 
 from __future__ import annotations

@@ -45,15 +45,19 @@ def assemble_documents(turns: DataFrame,
 
 def turn_token_hashes(text_col) -> "F.Column":
     """Whole-stage-codegen clean + tokenize + hash of one turn's text:
-    lower -> strip SlimPajama punctuation (translate) -> split on
-    unicode whitespace -> drop empties -> xxhash64 per token.
+    lower -> strip SlimPajama punctuation (translate) -> split CJK
+    ideographs per character (UAX#29 word bounds, kernel.CJK_RANGES) ->
+    split on unicode whitespace -> drop empties -> xxhash64 per token.
 
     Bit-identical to the Python kernel's "words" tokenizer
     (kernel.tokenize uses the same xxHash64-seed-42 on UTF-8 bytes);
     parity is asserted in tests. The (?U) flag makes Java's \\s match
     unicode whitespace like Python's re.
     """
+    from minhash_rs_spark.functions.kernel import CJK_RANGES
+
     cleaned = F.translate(F.lower(F.coalesce(text_col, F.lit(""))), _PUNCT, "")
+    cleaned = F.regexp_replace(cleaned, f"([{CJK_RANGES}])", r" $1 ")
     toks = F.filter(F.split(cleaned, r"(?U)\s+"), lambda t: t != "")
     return F.transform(toks, lambda t: F.xxhash64(t))
 

@@ -86,3 +86,30 @@ def test_cli_phase_requires_checkpoint(turns_parquet, tmp_path):
                  "--output", str(tmp_path / "x"))
     assert p.returncode != 0
     assert "checkpoint" in (p.stderr + p.stdout).lower()
+
+
+def test_cli_subsample_from_prior_annotations(turns_parquet, tmp_path, spark):
+    """dup-aware-subsample --annotations consumes a prior min-hash run's
+    annotated output standalone (ref src/dup_aware_subsample.rs:70-113)
+    and keeps exactly the conversations the recompute path keeps."""
+    anno = tmp_path / "anno"
+    p = _run_cli("min-hash", "--input", turns_parquet, "--output", str(anno))
+    assert p.returncode == 0, p.stderr[-2000:]
+
+    out_prior = tmp_path / "sub_prior"
+    p = _run_cli("dup-aware-subsample", "--input", turns_parquet,
+                 "--output", str(out_prior), "--annotations", str(anno),
+                 "--subsample-rate", "0.5")
+    assert p.returncode == 0, p.stderr[-2000:]
+
+    out_recompute = tmp_path / "sub_recompute"
+    p = _run_cli("dup-aware-subsample", "--input", turns_parquet,
+                 "--output", str(out_recompute), "--subsample-rate", "0.5")
+    assert p.returncode == 0, p.stderr[-2000:]
+
+    kept_prior = {r["conv_id"] for r in
+                  spark.read.parquet(str(out_prior)).collect()}
+    kept_re = {r["conv_id"] for r in
+               spark.read.parquet(str(out_recompute)).collect()}
+    assert kept_prior == kept_re
+    assert 0 < len(kept_prior)

@@ -220,3 +220,31 @@ def test_jvm_token_path_matches_python_string_path(spark, tiny_corpus):
     py_sh = {r["conv_id"]: sorted(r["shingles"]) for r in
              shingle_sets(str_docs, CFG).collect()}
     assert jvm_sh == py_sh
+
+
+def test_cjk_tokenization_parity_and_per_char_split(spark):
+    """UAX#29 behavior (the reference's uniseg tokenizer): CJK
+    ideographs tokenize per character, identically on the JVM codegen
+    path and the Python kernel path."""
+    from minhash_rs_spark.functions.kernel import clean_text, tokenize
+    from minhash_rs_spark.operators.doc_assembly import turn_token_hashes
+    from pyspark.sql import functions as F
+
+    samples = [
+        "Hello 世界 mixed 中文 text",
+        "日本語のテキストです",
+        "한국어 텍스트 test",
+        "中中中 repeated",
+        "no cjk at all",
+        "",
+    ]
+    # per-char split: 世界 -> two tokens
+    toks = tokenize(clean_text("世界 hello"), "words")
+    assert len(toks) == 3
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    jvm = [r["h"] for r in
+           df.select(turn_token_hashes(F.col("text")).alias("h")).collect()]
+    for s, got in zip(samples, jvm):
+        want = [int(x) for x in
+                tokenize(clean_text(s), "words").view("int64")]
+        assert list(got) == want, s
