@@ -65,18 +65,30 @@ def main():
     from minhash_rs_spark.data.transcripts import transcripts_spark_distributed
     from minhash_rs_spark.pipeline import run_minhash
 
-    n_base = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
-    big_turns = transcripts_spark_distributed(spark, n_base=n_base, seed=42).cache()
-    n_big = big_turns.count()
+    turns_parquet = os.environ.get("SPARK_GRAFT_TURNS_PARQUET")
+    if turns_parquet:
+        # scaling-bench mode: both parallelism levels read the SAME
+        # pre-generated corpus; generation cost is excluded and the
+        # corpus needn't fit in executor memory (parquet re-scan is
+        # parallel and page-cache-warm)
+        big_turns = spark.read.parquet(turns_parquet)
+        n_big = big_turns.count()
+    else:
+        n_base = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+        big_turns = transcripts_spark_distributed(
+            spark, n_base=n_base, seed=42).cache()
+        n_big = big_turns.count()
     t0 = time.time()
     res = run_minhash(spark, big_turns, MinHashConfig())
     n_asg = res.assignments.count()
     times["synthetic_flagship"] = round(time.time() - t0, 3)
     print(f"# synthetic_flagship: {times['synthetic_flagship']}s "
           f"({n_big} turns -> {n_asg} convs)", file=sys.stderr)
-    big_turns.unpersist()
+    if not turns_parquet:
+        big_turns.unpersist()
     spark.catalog.clearCache()
 
+    flagship_only = os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") == "1"
     qs = entrymod.queries()
     headline = [
         "minhash_clusters",
@@ -90,7 +102,7 @@ def main():
         "embedding_lsh_topk",
         "doc_assembly_roundtrip",
     ]
-    for name in headline:
+    for name in headline if not flagship_only else []:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)

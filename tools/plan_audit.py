@@ -106,6 +106,41 @@ def main():
     checks.append(("topk query side broadcast",
                    "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p))
 
+    # 7. verified-path candidate edges: algebraic aggs, no cartesian
+    from minhash_rs_spark.operators.lsh import pair_edges
+
+    p = plan_of(pair_edges(sigs))
+    sections.append(("pair_edges (verified-path candidates)", p,
+                     ["HashAggregate"]))
+    checks.append(("pair_edges no cartesian product",
+                   "CartesianProduct" not in p
+                   and "BroadcastNestedLoopJoin" not in p))
+    checks.append(("pair_edges bucket agg partial",
+                   p.count("HashAggregate") >= 2))
+
+    # 8. embedding near-dup LSH path: bucketed, never cartesian
+    from minhash_rs_spark.operators.similarity import cosine_near_dup_pairs
+
+    p = plan_of(cosine_near_dup_pairs(emb, 0.45, method="lsh",
+                                      n_bits=4, num_tables=8))
+    sections.append(("cosine_near_dup_pairs method=lsh", p, ["Join"]))
+    checks.append(("embedding near-dup LSH no cartesian",
+                   "CartesianProduct" not in p
+                   and "BroadcastNestedLoopJoin" not in p))
+
+    # 9. distributed containment: shuffle by fingerprint, no coalesce(1)
+    from minhash_rs_spark.operators.substring import containment_edges
+
+    p = plan_of(containment_edges(asm, scope="distributed",
+                                  kgram=8, window=32))
+    sections.append(("containment_edges scope=distributed", p,
+                     ["Exchange"]))
+    checks.append(("distributed containment has no single-partition "
+                   "coalesce", "Coalesce 1" not in p and
+                   "CoalescedPartitionSpec(0, 1" not in p))
+    checks.append(("distributed containment repartitions by fingerprint",
+                   "hashpartitioning(key" in p))
+
     md = ["# PLANS — physical plan audit (local, AQE on)\n",
           "Generated by tools/plan_audit.py. Checks:\n"]
     fails = 0

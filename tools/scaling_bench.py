@@ -1,11 +1,30 @@
-"""Two-cluster-size scaling proxy (BASELINE.md): run the flagship
-pipeline at local[N] and local[4N] on the SAME input and report
-throughput at both plus scaling efficiency = (T_N / T_4N) / 4.
+"""Two-cluster-size scaling evidence (BASELINE.json north rule): run
+the flagship pipeline at pinned N and 4N cores on the SAME
+pre-generated input and report throughput at both plus scaling
+efficiency = (T_N / T_4N) / 4.
 
-Each parallelism level runs in its own subprocess (a JVM's master is
-fixed at startup). Writes BENCH/BASELINE.md and prints a JSON summary.
+No real multi-node cluster exists in this sandbox, so "N and 4N
+executors" is evidenced by taskset-pinned core counts (the documented
+stand-in): unpinned runs let the small-N JVM's GC/shuffle threads and
+Python workers overflow onto idle cores, corrupting the ratio.
 
-Usage: python tools/scaling_bench.py [sf_dir] [N] [repeat]
+Methodology upgrades over round 1 (which measured 0.44 at 5.45M turns):
+  * the corpus is pre-generated ONCE to parquet at full parallelism and
+    read by both levels — generation is excluded and the input is
+    byte-identical;
+  * flagship-only (the suite's small queries are pure fixed-latency at
+    2 cores and tell nothing about scaling);
+  * 10x corpus (default 3.3M conversations ~= 30M turns): round 1's
+    Amdahl decomposition showed ~90 s of parallelism-independent time
+    (CC round latency, stage setup) vs ~30 s of parallel work — the
+    parallel fraction must dominate before efficiency is measurable;
+  * host allocation bandwidth is stamped before/after each level (this
+    VM's memory subsystem intermittently collapses; a degraded window
+    invalidates the ratio).
+
+Writes BENCH/SCALING.md and prints a JSON summary.
+
+Usage: python tools/scaling_bench.py [sf_dir] [N] [n_convs]
 """
 
 from __future__ import annotations
@@ -19,18 +38,34 @@ import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
+CORPUS_DIR = "/tmp/scaling_corpus"
 
 
-def run_level(sf_dir: str, cpus: int) -> dict:
+def gen_corpus(n_convs: int) -> str:
+    path = f"{CORPUS_DIR}/turns_{n_convs}"
+    if Path(path, "_SUCCESS").exists():
+        return path
+    sys.path.insert(0, str(ROOT))
+    from minhash_rs_spark.data.transcripts import transcripts_spark_distributed
+    from minhash_rs_spark.session import get_spark
+
+    spark = get_spark("scaling-gen", master="local[32]",
+                      shuffle_partitions=64)
+    t0 = time.time()
+    turns = transcripts_spark_distributed(spark, n_base=n_convs, seed=42)
+    turns.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    print(f"# generated {n} turns in {time.time() - t0:.0f}s -> {path}",
+          file=sys.stderr)
+    spark.stop()
+    return path
+
+
+def run_level(corpus: str, sf_dir: str, cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_CPUS=str(cpus), PYTHONPATH=str(ROOT))
-    # the scaling proxy needs a compute-bound corpus: small inputs are
-    # dominated by fixed DAG latency and under-report scaling
-    env.setdefault("SPARK_GRAFT_BENCH_CONVS", "600000")
-    # pin the process to exactly `cpus` CPUs: in unpinned local[N] runs
-    # the JVM's GC/shuffle threads and the Python workers overflow onto
-    # idle cores, flattering the small-N run and corrupting the N-vs-4N
-    # ratio (this is the sandbox stand-in for separate executors)
+               SPARK_GRAFT_CPUS=str(cpus), PYTHONPATH=str(ROOT),
+               SPARK_GRAFT_TURNS_PARQUET=corpus,
+               SPARK_GRAFT_FLAGSHIP_ONLY="1")
     cmd = [sys.executable, str(ROOT / "bench.py")]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
@@ -44,63 +79,58 @@ def run_level(sf_dir: str, cpus: int) -> dict:
     line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
     out = json.loads(line)
     out["wall_sec"] = round(wall, 1)
+    print(f"# local[{cpus}] pinned: flagship {out['flagship_sec']}s "
+          f"({out['turns_per_sec']} turns/s), host alloc "
+          f"{out['host_alloc_gbs']}->{out['host_alloc_gbs_after']} GB/s",
+          file=sys.stderr)
     return out
 
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    # default N=2 -> compares pinned 2 vs 8 cores ("N and 4N cores" per
-    # BASELINE.md): this box's memory subsystem saturates around ~8-12
-    # heavy threads, so 8-vs-32 measures the bandwidth wall, not the
-    # job's scalability; 2-vs-8 stays inside the envelope
+    # default N=2 -> pinned 2 vs 8 cores ("N and 4N cores"): this box's
+    # memory bus saturates around ~8-12 heavy threads, so 8-vs-32
+    # measures the bandwidth wall, not the job's scalability
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    r8 = run_level(sf_dir, n)
-    r32 = run_level(sf_dir, 4 * n)
-    t_n, t_4n = r8["flagship_sec"], r32["flagship_sec"]
-    su_total = r8["value"] / r32["value"]
-    eff_flag = (t_n / t_4n) / 4
-    eff_total = su_total / 4
+    n_convs = int(sys.argv[3]) if len(sys.argv) > 3 else 3_300_000
+    corpus = gen_corpus(n_convs)
+    r_n = run_level(corpus, sf_dir, n)
+    r_4n = run_level(corpus, sf_dir, 4 * n)
+    t_n, t_4n = r_n["flagship_sec"], r_4n["flagship_sec"]
+    eff = (t_n / t_4n) / 4
     summary = {
-        "sf_dir": sf_dir,
+        "corpus": corpus,
+        "turns": r_n["turns"],
         "n_cpus": n, "n4_cpus": 4 * n,
-        "turns": r8["turns"],
         "flagship_sec_n": t_n, "flagship_sec_4n": t_4n,
-        "turns_per_sec_n": r8["turns_per_sec"],
-        "turns_per_sec_4n": r32["turns_per_sec"],
-        "suite_sec_n": r8["value"], "suite_sec_4n": r32["value"],
-        "scaling_efficiency_flagship": round(eff_flag, 3),
-        "scaling_efficiency_suite": round(eff_total, 3),
-        "queries_n": r8["queries"], "queries_4n": r32["queries"],
+        "turns_per_sec_n": r_n["turns_per_sec"],
+        "turns_per_sec_4n": r_4n["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "host_alloc_gbs": [r_n["host_alloc_gbs"],
+                           r_n["host_alloc_gbs_after"],
+                           r_4n["host_alloc_gbs"],
+                           r_4n["host_alloc_gbs_after"]],
     }
     bench_dir = ROOT / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    md = f"""# BENCH/BASELINE — measured numbers (sandbox)
+    md = f"""# BENCH/SCALING — N vs 4N evidence (pinned cores)
 
-Scaling proxy per BASELINE.md: same job, same input
-({sf_dir}, {r8["turns"]} turns), at local[{n}] vs local[{4*n}]
-(single machine; no real multi-node cluster in the sandbox).
+Same job (flagship MinHash dedup pipeline: assemble -> shingle ->
+minhash -> LSH -> CC -> assignments), same pre-generated input
+({r_n["turns"]} turns), taskset-pinned {n} vs {4 * n} cores.
 
-| metric | local[{n}] | local[{4*n}] |
+| metric | local[{n}] pinned | local[{4 * n}] pinned |
 |---|---|---|
-| flagship pipeline (minhash_clusters) sec | {t_n} | {t_4n} |
-| flagship throughput turns/sec | {r8["turns_per_sec"]} | {r32["turns_per_sec"]} |
-| headline suite total sec | {r8["value"]} | {r32["value"]} |
+| flagship sec | {t_n} | {t_4n} |
+| turns/sec | {r_n["turns_per_sec"]} | {r_4n["turns_per_sec"]} |
+| host alloc GB/s (before/after) | {r_n["host_alloc_gbs"]}/{r_n["host_alloc_gbs_after"]} | {r_4n["host_alloc_gbs"]}/{r_4n["host_alloc_gbs_after"]} |
 
-Scaling efficiency (T_{n} / T_{4*n}) / 4:
-- flagship: **{eff_flag:.3f}**
-- whole suite: **{eff_total:.3f}**
-
-(Target >= 0.8 per BASELINE.json north_rule. Note: on a single box the
-{4*n}-thread run shares memory bandwidth and the Python driver, so this
-proxy under-reports what separate executors achieve; per-query times
-below.)
-
-| query | local[{n}] s | local[{4*n}] s |
-|---|---|---|
+Scaling efficiency (T_{n} / T_{4 * n}) / 4 = **{eff:.3f}**
+(north-rule target >= 0.8; host alloc bandwidth must read ~9+ GB/s on
+both levels for the ratio to be valid — see BENCH/BASELINE.md for this
+VM's degradation history).
 """
-    for q in r8["queries"]:
-        md += f"| {q} | {r8['queries'][q]} | {r32['queries'][q]} |\n"
-    (bench_dir / "BASELINE.md").write_text(md)
+    (bench_dir / "SCALING.md").write_text(md)
     print(json.dumps(summary))
 
 
