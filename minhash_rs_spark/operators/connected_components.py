@@ -22,30 +22,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
     """For each node u: attach every strictly-larger neighbor to
-    min(N(u) ∪ {u})."""
+    min(N(u) ∪ {u}).
+
+    Partitioning is EXPLICIT (repartition(n, key)) instead of leaning on
+    spark.sql.shuffle.partitions: the hash partitioning on u satisfies
+    both the groupBy distribution and the self-join co-partitioning, so
+    each star op pays exactly two exchanges (head repartition + final
+    dedup) with a partition count sized to the edge set — and nothing
+    mutates session-global state (two pipelines can share a session)."""
     sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    sym = sym.repartition(n_parts, "u")
     mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", F.col("u")).alias("m")))
     return (sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-            .distinct())
+            .repartition(n_parts, "src", "dst").dropDuplicates())
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
     """For each node u over its smaller neighbors N: attach u and all of N
-    to m = min(N)."""
+    to m = min(N). Same explicit-partitioning scheme as _large_star."""
     oriented = edges.select(F.greatest("src", "dst").alias("u"),
                             F.least("src", "dst").alias("v"))
+    oriented = oriented.repartition(n_parts, "u")
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     attach_neighbors = (oriented.join(mins, "u")
                         .where(F.col("v") != F.col("m"))
                         .select(F.col("v").alias("src"), F.col("m").alias("dst")))
     attach_center = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
-    return attach_neighbors.union(attach_center).distinct()
+    return (attach_neighbors.union(attach_center)
+            .repartition(n_parts, "src", "dst").dropDuplicates())
 
 
 def _is_star_forest(edges: DataFrame) -> bool:
@@ -69,14 +79,16 @@ def _is_star_forest(edges: DataFrame) -> bool:
 
 
 def _cc_partitions(n_edges: int, current: int) -> int:
-    """Shuffle-partition count for the CC loop, sized to the edge set.
+    """Partition count for the CC loop, sized to the edge set.
 
     The loop's per-round DataFrames sit behind localCheckpoint RDD
     boundaries, which AQE cannot coalesce across — with the session's
     scan-sized partition count every round pays hundreds of near-empty
     tasks (measured 12x slowdown on small edge sets). ~2M edges per
     partition keeps partitions comfortably in memory at scale while
-    collapsing small/medium graphs to a handful of tasks."""
+    collapsing small/medium graphs to a handful of tasks. Applied via
+    explicit repartition(n, key) in the star ops, never by mutating
+    spark.sql.shuffle.partitions."""
     return max(2, min(current, 1 + n_edges // 2_000_000))
 
 
@@ -89,24 +101,22 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
-    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(_cc_partitions(n_edges, int(orig_parts))))
-    try:
-        for _ in range(max_iterations):
-            if n_edges == 0:
-                break
-            # lazy checkpoint: the star-forest probe right after is the
-            # first action that materializes this round's edge set
-            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-            if _is_star_forest(e):
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iterations} rounds")
-        members = e.select(F.col("src").alias("conv_id"), F.col("dst").alias("cc_id"))
-        roots = e.select(F.col("dst").alias("conv_id"), F.col("dst").alias("cc_id"))
-        out = members.union(roots).distinct().localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
-    return out
+    n_parts = _cc_partitions(
+        n_edges, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    for _ in range(max_iterations):
+        if n_edges == 0:
+            break
+        # lazy checkpoint: the star-forest probe right after is the
+        # first action that materializes this round's edge set
+        e = _small_star(_large_star(e, n_parts),
+                        n_parts).localCheckpoint(eager=False)
+        if _is_star_forest(e):
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds")
+    members = e.select(F.col("src").alias("conv_id"), F.col("dst").alias("cc_id"))
+    roots = e.select(F.col("dst").alias("conv_id"), F.col("dst").alias("cc_id"))
+    return (members.union(roots)
+            .repartition(n_parts, "conv_id").dropDuplicates()
+            .localCheckpoint(eager=True))
