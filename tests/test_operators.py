@@ -280,8 +280,11 @@ def test_multimodal_stub(spark):
     # determinism
     feats2 = decode_media(media, dim=4).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
-    with pytest.raises(NotImplementedError):
-        decode_media(media, real=True)
+    # real=True on non-netpbm payloads raises per payload family at
+    # execution time (PIL absent — the gate is in the decode, not a
+    # blanket operator refusal; netpbm payloads decode for real)
+    with pytest.raises(Exception, match="NotImplementedError|PIL|netpbm"):
+        decode_media(media, real=True).collect()
 
 
 def test_multimodal_resize_and_frames(spark):
@@ -309,10 +312,12 @@ def test_multimodal_resize_and_frames(spark):
     assert sorted(by_id["2"]) == [0, 1, 2, 3]  # 1000 bytes -> 4 frames
 
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        resize_media(media, real=True)
-    with _pytest.raises(NotImplementedError):
-        sample_frames(media, real=True)
+    # real=True gates per payload family at execution time; these fake
+    # text payloads are not netpbm, so the decode raises
+    with _pytest.raises(Exception, match="NotImplementedError|netpbm|PPM"):
+        resize_media(media, real=True).collect()
+    with _pytest.raises(Exception, match="NotImplementedError|netpbm|PPM"):
+        sample_frames(media, real=True).collect()
 
 
 # ---- verified-path recall: outlier bucket-min must not disconnect pairs
@@ -479,3 +484,95 @@ def test_containment_distributed_cross_partition(spark, docs, tiny_corpus):
     assert found >= g
     assert found <= {(r["src"], r["dst"])
                      for r in containment_edges(docs, scope="global").collect()}
+
+
+# ---- multimodal real numpy codecs (PPM/PGM family) ----
+
+def _ppm(w, h, seed=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    from minhash_rs_spark.operators.multimodal import encode_ppm
+
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return img, encode_ppm(img)
+
+
+def test_netpbm_roundtrip_and_comments():
+    import numpy as np
+
+    from minhash_rs_spark.operators.multimodal import (
+        decode_netpbm, encode_ppm)
+
+    img, payload = _ppm(7, 5, seed=1)
+    assert (decode_netpbm(payload) == img).all()
+    # header comments + P5 grayscale
+    pgm = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+    g = decode_netpbm(pgm)
+    assert g.shape == (2, 3, 3)
+    assert (g[:, :, 0] == g[:, :, 1]).all()
+    with pytest.raises(NotImplementedError):
+        decode_netpbm(b"\x89PNG\r\n...")
+
+
+def test_bilinear_resize_properties():
+    import numpy as np
+
+    from minhash_rs_spark.operators.multimodal import bilinear_resize
+
+    solid = np.full((10, 8, 3), 77, dtype=np.uint8)
+    out = bilinear_resize(solid, 5, 3)
+    assert out.shape == (3, 5, 3) and (out == 77).all()
+    # horizontal gradient stays monotone after resize
+    grad = np.tile(np.arange(0, 250, 10, dtype=np.uint8)[None, :, None],
+                   (4, 1, 3))
+    out = bilinear_resize(grad, 50, 4)
+    row = out[0, :, 0].astype(int)
+    assert (np.diff(row) >= 0).all() and row[0] < row[-1]
+
+
+def test_real_media_ops_on_ppm(spark):
+    """real=True paths do REAL work for the dependency-free family:
+    decode -> pooled feature, bilinear resize -> re-encoded P6, and
+    frame sampling over a concatenated-P6 stream."""
+    import numpy as np
+
+    from minhash_rs_spark.operators.multimodal import (
+        decode_media, decode_netpbm, resize_media, sample_frames,
+        split_ppm_stream)
+
+    imgs = [_ppm(16, 12, seed=s) for s in range(3)]
+    stream = b"".join(p for _, p in imgs)  # 3-frame "video"
+    rows = ([(f"img{j}", "image/x-portable-pixmap", p, len(p))
+             for j, (_, p) in enumerate(imgs)]
+            + [("vid0", "video/x-ppm-stream", stream, len(stream))])
+    media = spark.createDataFrame(
+        rows, "media_id string, mime string, payload binary, n_bytes int")
+
+    feats = {r["media_id"]: r["feature"] for r in decode_media(
+        media.where("media_id like 'img%'"), dim=9, real=True).collect()}
+    assert len(feats) == 3
+    assert all(len(f) == 9 and 0.0 <= min(f) <= max(f) <= 1.0
+               for f in feats.values())
+    assert feats["img0"] != feats["img1"]  # content-sensitive
+
+    resized = {r["media_id"]: r for r in resize_media(
+        media.where("media_id like 'img%'"), 8, 6, real=True).collect()}
+    out = decode_netpbm(bytes(resized["img1"]["payload"]))
+    assert out.shape == (6, 8, 3)
+
+    frames = sample_frames(media.where("media_id = 'vid0'"),
+                           max_frames=2, real=True).collect()
+    assert len(frames) == 2  # 3 frames, stride 2 -> idx 0 and 2
+    assert {r["frame_idx"] for r in frames} == {0, 2}
+    # fingerprints match the actual frame bytes
+    import hashlib
+    fr = split_ppm_stream(stream)
+    want = {i: hashlib.sha256(fr[i]).hexdigest()[:16] for i in (0, 2)}
+    assert {r["frame_idx"]: r["frame_sha"] for r in frames} == want
+    # compressed family still gated honestly (fake mp4 magic)
+    mp4 = spark.createDataFrame(
+        [("v1", "video/mp4", b"\x00\x00\x00\x18ftypmp42xxxx", 16)],
+        "media_id string, mime string, payload binary, n_bytes int")
+    with pytest.raises(Exception, match="NotImplementedError|PPM|ffmpeg"):
+        sample_frames(mp4, real=True).collect()
