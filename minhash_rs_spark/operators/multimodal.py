@@ -52,9 +52,11 @@ def _parse_netpbm(payload: bytes, pos: int = 0) -> tuple:
             i = payload.index(b"\n", i) + 1
         elif c.isspace():
             i += 1
+        elif c == b"":
+            raise ValueError("truncated netpbm header")
         else:
             j = i
-            while not payload[j:j + 1].isspace():
+            while j < len(payload) and not payload[j:j + 1].isspace():
                 j += 1
             tokens.append(payload[i:j])
             i = j

