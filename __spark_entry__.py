@@ -88,13 +88,16 @@ _SYNTH_TURNS_SQL = f"""
 # --------------------------------------------------------------------------
 
 def q_exact_dedup_survivors(spark, sf_dir):
-    from minhash_rs_spark.operators.exact_dedup import exact_dedup_assignments
+    """Window-free dedup path: survivors() is an algebraic min per
+    component (annotate.py), so a mega-component never serializes into
+    one task — cc_idx is only computed in annotate mode."""
+    from minhash_rs_spark.operators.annotate import survivors
+    from minhash_rs_spark.operators.exact_dedup import exact_cc
 
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.coalesce("text", F.lit("")).alias("doc_text"))
-    asg = exact_dedup_assignments(docs)
-    return (asg.where(F.col("cc_idx") == 0)
+    return (survivors(exact_cc(docs))
             .select(F.col("conv_id").cast("long").alias("doc_id"))
             .orderBy("doc_id"))
 
@@ -122,7 +125,7 @@ def q_dup_aware_subsample(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.coalesce("text", F.lit("")).alias("doc_text"))
-    asg = exact_dedup_assignments(docs)
+    asg = exact_dedup_assignments(docs, with_idx=False)
     kept = dup_aware_subsample(asg, 0.5, max_cc_size=8, seed=0, method="poly")
     return kept.select(F.col("conv_id").cast("long").alias("doc_id"),
                        F.col("cc_id").cast("long").alias("cc_id"))
@@ -182,8 +185,14 @@ def q_containment_pairs(spark, sf_dir):
     """Suffix-array exact-substring containment over normalized text —
     DISTRIBUTED scope (winnowing collocation, substring.py module doc):
     no coalesce(1) anywhere. kgram=8/window=32 sizes the exactness
-    guarantee to cleaned length >= 39, below this corpus's minimum doc
-    length (44), so the distributed result equals the global one."""
+    guarantee to CLEANED length >= window+kgram-1 = 39 (the guarantee
+    is over clean_text output, which strips punctuation and collapses
+    whitespace); the testdata corpora measure min cleaned length 44+
+    at every sf (asserted by test_containment_margin_over_cleaned_len),
+    so the distributed result equals the global one. Short docs below
+    the bound would still pair with short containers (substring.py
+    emits all kgrams for sub-window docs), only the short-in-long case
+    needs the margin."""
     from minhash_rs_spark.operators.substring import containment_edges
 
     docs = _docs(spark, sf_dir).select(

@@ -17,23 +17,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cluster_assignments(docs: DataFrame, cc: DataFrame) -> DataFrame:
-    """Full per-conversation cluster table (conv_id, cc_id, cc_size, cc_idx).
+def cluster_assignments(docs: DataFrame, cc: DataFrame,
+                        with_idx: bool = True) -> DataFrame:
+    """Full per-conversation cluster table (conv_id, cc_id, cc_size[, cc_idx]).
 
     docs: one row per conv_id. cc: (conv_id, cc_id) for non-singletons.
     Singletons get cc_id = own conv_id (C3, ref src/main.rs:1089-1099).
-    cc_size / cc_idx via one window over cc_id (G5/G8).
+
+    cc_size is algebraic (groupBy + join), never a window: a window
+    over partitionBy(cc_id) lands a degenerate mega-component (e.g.
+    every empty doc clustering together) in a single task, while the
+    groupBy's map-side partial aggregation absorbs it. cc_idx (a
+    per-member ordinal, ref annotation quad src/main.rs:1256-1319)
+    inherently requires an in-component sort, so it stays a window —
+    pass with_idx=False on paths that only need sizes or survivor
+    election (prune/dedup mode, histograms); survivors() below is
+    idx-free by construction.
     """
     labeled = (docs.select("conv_id")
                .join(cc, "conv_id", "left")
                .select("conv_id", F.coalesce("cc_id", "conv_id").alias("cc_id")))
-    w = Window.partitionBy("cc_id")
-    wo = w.orderBy("conv_id")
-    return labeled.select(
-        "conv_id", "cc_id",
-        F.count(F.lit(1)).over(w).alias("cc_size"),
-        (F.row_number().over(wo) - F.lit(1)).alias("cc_idx"),
-    )
+    sizes = labeled.groupBy("cc_id").agg(F.count(F.lit(1)).alias("cc_size"))
+    out = labeled.join(sizes, "cc_id").select("conv_id", "cc_id", "cc_size")
+    if with_idx:
+        wo = Window.partitionBy("cc_id").orderBy("conv_id")
+        out = out.withColumn("cc_idx", F.row_number().over(wo) - F.lit(1))
+    return out
 
 
 def annotate_turns(turns: DataFrame, assignments: DataFrame,
@@ -49,8 +58,13 @@ def annotate_turns(turns: DataFrame, assignments: DataFrame,
 
 
 def survivors(assignments: DataFrame) -> DataFrame:
-    """conv_ids that survive dedup: exactly one per component (cc_idx 0)."""
-    return assignments.where(F.col("cc_idx") == 0).select("conv_id")
+    """conv_ids that survive dedup: exactly one per component — the
+    min-conv_id member, identical to cc_idx==0 (the window orders by
+    conv_id) but algebraic: a groupBy min survives a mega-component
+    where a partitionBy(cc_id) window would serialize into one task,
+    and it works on with_idx=False assignment tables."""
+    return assignments.groupBy("cc_id").agg(
+        F.min("conv_id").alias("conv_id")).select("conv_id")
 
 
 def prune_turns(turns: DataFrame, assignments: DataFrame,

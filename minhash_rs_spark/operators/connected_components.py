@@ -60,22 +60,29 @@ def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
 
 def _is_star_forest(edges: DataFrame) -> bool:
     """Convergence test: the edge set is a forest of stars rooted at
-    component minima iff (a) no node is both a source (leaf) and a
-    destination (root), and (b) every leaf points at exactly one root.
-    Checking this directly saves the extra contraction round that a
-    compare-previous-edge-set fixpoint test needs (large+small star are
-    no-ops exactly on star forests)."""
-    row = edges.select(
-        F.count(F.lit(1)).alias("n_edges"),
-        F.countDistinct("src").alias("n_src"),
-    ).first()
-    if (row["n_edges"] or 0) != (row["n_src"] or 0):
-        return False  # some leaf has two parents -> not yet a star forest
-    # any root that is also a leaf?
-    overlap = (edges.select("dst").distinct()
-               .join(edges.select(F.col("src").alias("dst")).distinct(), "dst",
-                     "left_semi"))
-    return overlap.isEmpty()
+    component minima iff (a) every leaf points at exactly one root
+    (no src appears twice) and (b) no node is both a source (leaf) and
+    a destination (root). Checking this directly saves the extra
+    contraction round that a compare-previous-edge-set fixpoint test
+    needs (large+small star are no-ops exactly on star forests).
+
+    ONE driver action: both predicates reduce over a role-tagged node
+    frame — per node, s = #edges it sources and d = whether it is a
+    destination; the forest is broken iff any node has s>1 (two
+    parents) or s>0 ∧ d (leaf that is also a root). The loop formerly
+    ran a .first() aggregate plus an isEmpty probe per round — 2 jobs ×
+    O(log n) rounds of pure driver latency, a serial term that caps
+    N→4N scaling (Amdahl) while the per-round data shrinks."""
+    tagged = edges.select(F.col("src").alias("n"), F.lit(1).alias("s"),
+                          F.lit(0).alias("d")).union(
+        edges.select(F.col("dst").alias("n"), F.lit(0).alias("s"),
+                     F.lit(1).alias("d")))
+    per_node = tagged.groupBy("n").agg(F.sum("s").alias("s"),
+                                       F.max("d").alias("d"))
+    bad = per_node.select(F.max(
+        F.when((F.col("s") > 1) | ((F.col("s") > 0) & (F.col("d") > 0)),
+               F.lit(1)).otherwise(F.lit(0))).alias("bad")).first()["bad"]
+    return bad != 1  # None (no edges) is a star forest
 
 
 def _cc_partitions(n_edges: int, current: int) -> int:

@@ -197,7 +197,13 @@ def _distributed_containment(src: DataFrame, text_col: str, kgram: int,
                 if len(data) < kgram:
                     continue  # no kgram -> cannot contain/be contained at >= kgram
                 h = _kgram_hashes(data, kgram)
-                fps = np.unique(_window_mins(h, window))
+                if len(h) <= window:
+                    # short doc: every kgram is a fingerprint, so a
+                    # short containee's anchor always collides with a
+                    # short container holding the same gram
+                    fps = np.unique(h)
+                else:
+                    fps = np.unique(_window_mins(h, window))
                 # the containee anchor is the first window's min — by
                 # construction fps[...] contains it
                 anchor = int(h[:window].min())

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from minhash_rs_spark.config import MinHashConfig
+from minhash_rs_spark.functions.fingerprint import fingerprint128
 from minhash_rs_spark.functions.udfs import band_signature_rows_exact
 
 
@@ -36,17 +37,19 @@ def streaming_exact_dedup(stream: DataFrame,
     time passes the watermark — the streaming analog of exact-dedup's
     hash ledger (/root/reference/src/exact_dedup.rs:105-115).
 
-    The fingerprint is 128-bit (two independently-seeded xxhash64
-    halves), matching the batch path's no-false-merge stance
-    (exact_dedup.py groups on full text): at 10^12 turns a single
-    64-bit hash has a >2% birthday-collision chance of silently
-    dropping a unique document; at 128 bits the probability is ~1e-14.
+    The fingerprint is 128-bit (two distinct-seed xxhash64 digests of
+    the text — see functions/fingerprint.py for why the constant must
+    come FIRST in the second half), matching the batch path's
+    no-false-merge stance (exact_dedup.py keys on the same pair): at
+    10^12 turns a single 64-bit hash has a >2% birthday-collision
+    chance of silently dropping a unique document; at 128 bits the
+    probability is ~1e-14.
     """
-    txt = F.coalesce(F.col(text_col), F.lit(""))
+    fa, fb = fingerprint128(text_col)
     return (
         stream
-        .withColumn("_fp_a", F.xxhash64(txt))
-        .withColumn("_fp_b", F.xxhash64(txt, F.lit(0x9E3779B9)))
+        .withColumn("_fp_a", fa)
+        .withColumn("_fp_b", fb)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_fp_a", "_fp_b"])
         .drop("_fp_a", "_fp_b")

@@ -576,3 +576,133 @@ def test_real_media_ops_on_ppm(spark):
         "media_id string, mime string, payload binary, n_bytes int")
     with pytest.raises(Exception, match="NotImplementedError|PPM|ffmpeg"):
         sample_frames(mp4, real=True).collect()
+
+
+# ---- round-3 fixes: fingerprint dedup, algebraic survivors, short-doc
+# containment (VERDICT r2 #3/#5, ADVICE r2 #1) ----
+
+def test_exact_cc_fingerprint_keeps_null_and_empty_distinct(spark):
+    """exact_cc now shuffles on a 128-bit fingerprint, not the text; the
+    null-flag column must keep NULL and '' in separate groups (SQL
+    grouping semantics, which the old groupBy(text) gave for free)."""
+    from minhash_rs_spark.operators.exact_dedup import exact_cc
+
+    rows = [("1", "alpha"), ("2", "alpha"), ("3", "beta"),
+            ("4", None), ("5", ""), ("6", None)]
+    docs = spark.createDataFrame(rows, ["conv_id", "doc_text"])
+    got = {(r["conv_id"], r["cc_id"]) for r in exact_cc(docs).collect()}
+    assert got == {("1", "1"), ("2", "1"), ("3", "3"),
+                   ("4", "4"), ("6", "4"), ("5", "5")}
+
+
+def test_exact_cc_verify_text_mode(spark):
+    """verify_text=True asserts in-group text equality (collision QA)."""
+    from minhash_rs_spark.operators.exact_dedup import exact_cc
+
+    rows = [("1", "x"), ("2", "x"), ("3", "y")]
+    docs = spark.createDataFrame(rows, ["conv_id", "doc_text"])
+    got = {(r["conv_id"], r["cc_id"])
+           for r in exact_cc(docs, verify_text=True).collect()}
+    assert got == {("1", "1"), ("2", "1"), ("3", "3")}
+
+
+def test_exact_cc_plan_has_no_text_shuffle(spark, docs):
+    """The shuffle key must be the fingerprint pair, never doc_text: no
+    hashpartitioning on the text column anywhere in the plan."""
+    from minhash_rs_spark.operators.exact_dedup import exact_cc
+
+    plan = exact_cc(docs)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "doc_text" not in line, line
+
+
+def test_survivors_algebraic_equals_idx0(spark, exact_asg):
+    from minhash_rs_spark.operators.annotate import survivors
+
+    s1 = {r["conv_id"] for r in survivors(exact_asg).collect()}
+    s2 = {r["conv_id"]
+          for r in exact_asg.where("cc_idx = 0").select("conv_id").collect()}
+    assert s1 == s2
+
+
+def test_cluster_assignments_with_idx_false_skips_window(spark, docs):
+    """Mega-component guard: the idx-free path must contain no Window
+    operator (a partitionBy(cc_id) window serializes a degenerate
+    all-identical-docs component into one task)."""
+    from minhash_rs_spark.operators.exact_dedup import exact_dedup_assignments
+
+    asg = exact_dedup_assignments(docs, with_idx=False)
+    assert "cc_idx" not in asg.columns
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # sizes still correct vs the idx path
+    full = exact_dedup_assignments(docs)
+    a = sorted(map(tuple, asg.select("conv_id", "cc_id", "cc_size").collect()))
+    b = sorted(map(tuple, full.select("conv_id", "cc_id", "cc_size").collect()))
+    assert a == b
+
+
+def test_mega_component_survivors_window_free(spark):
+    """Planted single mega-component (all-identical docs): survivor
+    election and sizes must work without any Window in the plan."""
+    from minhash_rs_spark.operators.annotate import survivors
+    from minhash_rs_spark.operators.exact_dedup import (
+        exact_cc, exact_dedup_assignments)
+
+    docs = (spark.range(20000)
+            .select(F.format_string("c%07d", "id").alias("conv_id"),
+                    F.lit("same text every time").alias("doc_text")))
+    surv = survivors(exact_cc(docs))
+    assert "Window" not in surv._jdf.queryExecution().executedPlan().toString()
+    assert [r["conv_id"] for r in surv.collect()] == ["c0000000"]
+    asg = exact_dedup_assignments(docs, with_idx=False)
+    assert asg.where("cc_size = 20000").count() == 20000
+
+
+def test_containment_short_short_pair_distributed(spark):
+    """ADVICE r2 #1 regression: containee AND container both below the
+    window+kgram-1 exactness bound, chosen so the container's global
+    min-kgram differs from the containee's anchor — the pre-fix code
+    (container emits only its single global min) provably misses this
+    pair; emitting all kgrams for sub-window docs finds it."""
+    import numpy as np
+
+    from minhash_rs_spark.functions.kernel import clean_text
+    from minhash_rs_spark.operators.substring import (
+        _kgram_hashes, containment_edges)
+
+    kgram, window = 8, 32
+    inner = "zebra quokka mantis"
+    outer = "acacac zebra quokka mantis acacac"
+    ci, co = clean_text(inner), clean_text(outer)
+    assert ci in co and len(co) < window + kgram - 1  # both sub-window
+    hi = _kgram_hashes(np.frombuffer(ci.encode(), np.uint8), kgram)
+    ho = _kgram_hashes(np.frombuffer(co.encode(), np.uint8), kgram)
+    assert ho.min() < hi.min()  # the old single-fingerprint path misses
+    docs = spark.createDataFrame(
+        [("inner", inner), ("outer", outer), ("other", "completely unrelated text")],
+        ["conv_id", "doc_text"])
+    edges = {(r["src"], r["dst"])
+             for r in containment_edges(docs, scope="distributed",
+                                        kgram=kgram, window=window).collect()}
+    assert ("inner", "outer") in edges
+
+
+def test_containment_margin_over_cleaned_len():
+    """ADVICE r2 #3: q_containment_pairs' exactness argument is over
+    CLEANED length; assert the margin holds on the real testdata."""
+    import os
+
+    import duckdb
+
+    from minhash_rs_spark.functions.kernel import clean_text
+
+    bound = 32 + 8 - 1  # window + kgram - 1 as used by the driver query
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        rows = duckdb.sql(f"SELECT text FROM '{path}'").fetchall()
+        m = min(len(clean_text(t or "")) for (t,) in rows)
+        assert m >= bound, (sf, m)
