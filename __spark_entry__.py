@@ -715,4 +715,16 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id % 50 = 0)
             WHERE rank <= 5
         """,
+        # payload is the doc's UTF-8 bytes and payload_sha a sha256
+        # prefix -- both ANSI-expressible, so this is a real hash gate
+        # on the multimodal plumbing (id/mime/payload routing)
+        "media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'audio/wav'
+                     ELSE 'video/mp4' END AS mime,
+                   substr(sha256(coalesce(text, '')), 1, 16) AS payload_sha
+            FROM documents
+        """,
     }

@@ -21,9 +21,12 @@ class MinHashConfig:
         num_bands      -> num_bands
         band_size      -> band_size
         ngram_size     -> ngram_size
-        tokenizer_str  -> tokenizer ("words" ~ uniseg word-bounds,
-                          "bytes" ~ default byte tokens, "p50k"/"cl100k"
-                          gated on tiktoken availability)
+        tokenizer_str  -> tokenizer ("uniseg" = faithful word AND
+                          whitespace segments, ref split_word_bounds
+                          src/main.rs:352-358; "words" = word segments
+                          only, the engine's default; "bytes" ~ default
+                          byte tokens; "p50k"/"cl100k" gated on
+                          tiktoken availability)
         hash_seed      -> hash_seed (band-seed expansion root,
                           ref src/main.rs:441-444)
         content_key    -> text_col
@@ -115,7 +118,9 @@ class MinHashConfig:
         MinHash. Our field uses the plain reading (True = exact
         doc-hash mode), so the translation must negate."""
         tok = raw.get("tokenizer_str", "words")
-        tok_map = {"uniseg": "words", "": "bytes"}
+        # "uniseg" maps to the engine's faithful uniseg mode (word AND
+        # whitespace segments, ref src/main.rs:352-358)
+        tok_map = {"": "bytes"}
         return cls(
             num_bands=raw.get("num_bands", 14),
             band_size=raw.get("band_size", 8),

@@ -51,17 +51,37 @@ def tokenize(cleaned: str, mode: str, cache: dict | None = None) -> np.ndarray:
     Modes (ref: OmniTokenizer /root/reference/src/main.rs:327-366):
       words  — whitespace-delimited words with CJK ideographs split per
                character (UAX#29 behavior), each stably hashed
-               (analog of uniseg word-bounds + SipHash; divergence: we do
+               (analog of uniseg word-bounds + SipHash; divergence: does
                not emit whitespace segments as tokens)
+      uniseg — words PLUS a single-space token between adjacent word
+               segments, exactly `split_word_bounds` on cleaned text
+               (ref src/main.rs:352-358; executable spec
+               ref_oracle.py:tokenize): on cleaned text (single spaces)
+               UAX#29 emits alternating words and " " segments; CJK
+               characters are their own segments with NO space between.
+               This makes the shingle stream structurally identical to
+               the reference binary's at matched config.
       bytes  — raw UTF-8 byte values as token ids (reference default arm)
       p50k / cl100k — tiktoken BPE, gated on availability
     """
-    if mode == "words":
+    if mode in ("words", "uniseg"):
         if not cleaned:
             return np.empty(0, dtype=U64)
-        if _CJK_SPLIT_RE.search(cleaned):
-            cleaned = _CJK_SPLIT_RE.sub(r" \1 ", cleaned)
-        toks = [t for t in cleaned.split(" ") if t]
+        if mode == "uniseg":
+            toks: list[str] = []
+            for i, w in enumerate(cleaned.split(" ")):
+                if i:
+                    toks.append(" ")
+                if not w:
+                    continue
+                if _CJK_SPLIT_RE.search(w):
+                    toks.extend(s for s in _CJK_SPLIT_RE.split(w) if s)
+                else:
+                    toks.append(w)
+        else:
+            if _CJK_SPLIT_RE.search(cleaned):
+                cleaned = _CJK_SPLIT_RE.sub(r" \1 ", cleaned)
+            toks = [t for t in cleaned.split(" ") if t]
         if not toks:
             return np.empty(0, dtype=U64)
         # token hash = xxHash64(utf8, seed 42) — EXACTLY Spark's

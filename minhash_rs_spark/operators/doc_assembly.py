@@ -43,13 +43,18 @@ def assemble_documents(turns: DataFrame,
     )
 
 
-def turn_token_hashes(text_col) -> "F.Column":
+def turn_token_hashes(text_col, mode: str = "words") -> "F.Column":
     """Whole-stage-codegen clean + tokenize + hash of one turn's text:
     lower -> strip SlimPajama punctuation (translate) -> split CJK
     ideographs per character (UAX#29 word bounds, kernel.CJK_RANGES) ->
     split on unicode whitespace -> drop empties -> xxhash64 per token.
 
-    Bit-identical to the Python kernel's "words" tokenizer
+    mode="uniseg" additionally emits a single-space token between
+    adjacent word segments — exactly uniseg::split_word_bounds on
+    cleaned text (ref src/main.rs:352-358): CJK characters inside a
+    word become their own segments with NO space token between them.
+
+    Bit-identical to the Python kernel's same-mode tokenizer
     (kernel.tokenize uses the same xxHash64-seed-42 on UTF-8 bytes);
     parity is asserted in tests. The (?U) flag makes Java's \\s match
     unicode whitespace like Python's re.
@@ -57,15 +62,39 @@ def turn_token_hashes(text_col) -> "F.Column":
     from minhash_rs_spark.functions.kernel import CJK_RANGES
 
     cleaned = F.translate(F.lower(F.coalesce(text_col, F.lit(""))), _PUNCT, "")
-    cleaned = F.regexp_replace(cleaned, f"([{CJK_RANGES}])", r" $1 ")
-    toks = F.filter(F.split(cleaned, r"(?U)\s+"), lambda t: t != "")
+    if mode == "uniseg":
+        # cleaned has single spaces (clean_text collapses whitespace
+        # upstream in the assembled doc; raw turn text may not be
+        # collapsed, so normalize here first)
+        cleaned = F.trim(F.regexp_replace(cleaned, r"(?U)\s+", " "))
+        words = F.split(cleaned, " ")
+        # per word: CJK-aware sub-segments, no inter-segment spaces
+        segs = F.transform(
+            words,
+            lambda w: F.filter(
+                F.split(F.regexp_replace(w, f"([{CJK_RANGES}])", "$1"),
+                        ""),
+                lambda t: t != ""))
+        # intersperse the " " segment between words (not around CJK
+        # splits), then drop the leading-empty-doc case
+        parts = F.transform(
+            segs,
+            lambda x, i: F.when(i == F.lit(0), x)
+                          .otherwise(F.concat(F.array(F.lit(" ")), x)))
+        toks = F.flatten(parts)
+        toks = F.when(F.length(cleaned) == 0, F.array().cast("array<string>")) \
+                .otherwise(toks)
+    else:
+        cleaned = F.regexp_replace(cleaned, f"([{CJK_RANGES}])", r" $1 ")
+        toks = F.filter(F.split(cleaned, r"(?U)\s+"), lambda t: t != "")
     return F.transform(toks, lambda t: F.xxhash64(t))
 
 
 def assemble_token_docs(turns: DataFrame,
                         conv_col: str = "conv_id",
                         order_col: str = "turn_idx",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        mode: str = "words") -> DataFrame:
     """(conv_id, token_hashes array<long>, n_turns) — the minhash path's
     document assembly, entirely JVM-side (codegen; no Python strings).
 
@@ -78,5 +107,5 @@ def assemble_token_docs(turns: DataFrame,
     docs = assemble_documents(turns, conv_col, order_col, text_col)
     return docs.select(
         "conv_id",
-        turn_token_hashes(F.col("doc_text")).alias("token_hashes"),
+        turn_token_hashes(F.col("doc_text"), mode).alias("token_hashes"),
         "n_turns")

@@ -102,14 +102,15 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
     ckpt = CheckpointManager(spark, cfg.checkpoint_dir,
                              config_fingerprint(cfg, input_token))
 
-    # Document assembly. The default "words" tokenizer runs the whole
-    # clean+tokenize+hash stage JVM-side (codegen) and ships compact
+    # Document assembly. The "words"/"uniseg" tokenizers run the whole
+    # clean+tokenize+hash stage JVM-side (codegen) and ship compact
     # int64 token arrays to the numpy kernel; other tokenizer modes
     # (bytes / BPE) assemble the document string and tokenize in Python.
-    jvm_tokens = cfg.tokenizer == "words" and not cfg.exact_override
+    jvm_tokens = cfg.tokenizer in ("words", "uniseg") and not cfg.exact_override
     if jvm_tokens:
         docs = ckpt.stage("docs", lambda: assemble_token_docs(
-            turns, cfg.conv_col, cfg.order_col, cfg.text_col))
+            turns, cfg.conv_col, cfg.order_col, cfg.text_col,
+            mode=cfg.tokenizer))
     else:
         docs = ckpt.stage("docs", lambda: assemble_documents(
             turns, cfg.conv_col, cfg.order_col, cfg.text_col))

@@ -248,3 +248,40 @@ def test_cjk_tokenization_parity_and_per_char_split(spark):
         want = [int(x) for x in
                 tokenize(clean_text(s), "words").view("int64")]
         assert list(got) == want, s
+
+
+def test_uniseg_tokenization_parity_jvm_vs_python(spark):
+    """uniseg mode (word AND whitespace segments, ref split_word_bounds
+    src/main.rs:352-358): JVM codegen path == Python kernel, including
+    CJK (own segments, no space token between), multi-space raw text,
+    and empties."""
+    from minhash_rs_spark.functions.kernel import clean_text, tokenize
+    from minhash_rs_spark.operators.doc_assembly import turn_token_hashes
+    from pyspark.sql import functions as F
+
+    samples = [
+        "Hello 世界 mixed 中文 text",
+        "日本語のテキストです",
+        "abc日def glued",
+        "plain english words here",
+        "  leading   and trailing   ",
+        "",
+        "one",
+    ]
+    # structure: "a b" -> [a, ' ', b]; CJK inside a word has no spaces
+    toks = tokenize(clean_text("hello world"), "uniseg")
+    assert len(toks) == 3
+    from minhash_rs_spark.functions.xxhash import xxhash64
+    assert int(toks[1]) == xxhash64(" ")
+    assert len(tokenize(clean_text("日本"), "uniseg")) == 2      # no space
+    assert len(tokenize(clean_text("日 本"), "uniseg")) == 3     # space kept
+    assert len(tokenize(clean_text("abc日def"), "uniseg")) == 3  # mixed word
+
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    jvm = [r["h"] for r in
+           df.select(turn_token_hashes(F.col("text"), "uniseg")
+                     .alias("h")).collect()]
+    for s, got in zip(samples, jvm):
+        want = [int(x) for x in
+                tokenize(clean_text(s), "uniseg").view("int64")]
+        assert list(got) == want, s

@@ -73,7 +73,8 @@ def test_oracle_clusters_exact_and_near():
 # ------------------------------------------------------------ recall gate
 
 @pytest.mark.slow
-def test_engine_recall_vs_reference_faithful_oracle(spark):
+@pytest.mark.parametrize("tokenizer", ["words", "uniseg"])
+def test_engine_recall_vs_reference_faithful_oracle(spark, tokenizer):
     """BASELINE.json metric: dup-pair recall >= 0.99 vs reference
     clusters at the same shingle/band/row config. The oracle plays the
     reference (same algorithm, independent hash family); the corpus is
@@ -113,7 +114,7 @@ def test_engine_recall_vs_reference_faithful_oracle(spark):
     # engine side: same config, reference-parity mode (no verification)
     turns = spark.createDataFrame(turns_pd)
     res = run_minhash(spark, turns, MinHashConfig(
-        tokenizer="words", num_bands=14, band_size=8, ngram_size=5,
+        tokenizer=tokenizer, num_bands=14, band_size=8, ngram_size=5,
         hash_seed=0, jaccard_threshold=None))
     engine_cc = {r["conv_id"]: r["cc_id"]
                  for r in res.assignments.select("conv_id", "cc_id").collect()}
@@ -130,3 +131,23 @@ def test_engine_recall_vs_reference_faithful_oracle(spark):
           f"oracle-vs-engine: {rev:.4f} ({len(engine_pairs)} engine pairs)")
     assert recall >= 0.99, (
         f"dup-pair recall {recall:.4f} < 0.99 vs reference-faithful oracle")
+
+
+def test_uniseg_token_and_shingle_count_parity_vs_oracle():
+    """Per-doc segment-count parity: the engine's uniseg tokenizer must
+    produce exactly as many segments as the reference-faithful oracle's
+    split_word_bounds spec (token ids differ by hash family; the
+    STRUCTURE — word and whitespace segments — must be identical), and
+    therefore the same shingle-window count."""
+    from minhash_rs_spark.data.transcripts import generate_transcripts
+    from minhash_rs_spark.functions.kernel import clean_text, tokenize
+
+    turns_pd, _ = generate_transcripts(n_base=40, seed=3)
+    docs = ["\n".join(g.sort_values("turn_idx")["text"].fillna(""))
+            for _, g in turns_pd.groupby("conv_id")]
+    docs += ["", "one", "a b", "  spaced   out  "]
+    for d in docs:
+        cleaned = clean_text(d)
+        eng = tokenize(cleaned, "uniseg")
+        ora = RO.tokenize(cleaned)
+        assert len(eng) == len(ora), (len(eng), len(ora), cleaned[:60])
