@@ -38,6 +38,42 @@ def host_alloc_gbs() -> float:
     return round(1.0 / (time.time() - t0), 2)
 
 
+def tree_cpu_seconds() -> float:
+    """Total CPU seconds consumed so far by this process and every live
+    descendant (JVM + forked Python workers), plus already-reaped
+    children (cutime/cstime). Sampling this around a run gives the
+    host-invariant 'total task time' numerator for the scaling bench's
+    utilization metric: cpu / (wall * cores)."""
+    clk = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    # build the descendant set from /proc ppids
+    children: dict[int, list[int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            ppid = int(parts[1])
+            children.setdefault(ppid, []).append(int(d))
+        except (OSError, IndexError, ValueError):
+            continue
+    total = 0.0
+    stack = [me]
+    while stack:
+        pid = stack.pop()
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # utime stime cutime cstime = fields 14-17 (1-based), i.e.
+            # parts[11:15] after the comm field split
+            total += sum(int(x) for x in parts[11:15]) / clk
+        except (OSError, IndexError, ValueError):
+            pass
+        stack.extend(children.get(pid, []))
+    return total
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -78,12 +114,32 @@ def main():
         big_turns = transcripts_spark_distributed(
             spark, n_base=n_base, seed=42).cache()
         n_big = big_turns.count()
-    t0 = time.time()
-    res = run_minhash(spark, big_turns, MinHashConfig())
-    n_asg = res.assignments.count()
-    times["synthetic_flagship"] = round(time.time() - t0, 3)
-    print(f"# synthetic_flagship: {times['synthetic_flagship']}s "
-          f"({n_big} turns -> {n_asg} convs)", file=sys.stderr)
+    # scaling-bench mode: untimed warm-up runs fault in the JVM heap and
+    # Python-worker arenas once — this VM's fresh-page-fault path is
+    # intermittently pathological (0.01 GB/s) while mapped-page reuse
+    # stays ~8 GB/s, so timing a cold first run measures the host's
+    # fault handler, not the engine (BENCH/BASELINE.md)
+    warmups = int(os.environ.get("SPARK_GRAFT_WARMUP_RUNS", "0"))
+    timed_runs = max(1, int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "1")))
+    for i in range(warmups):
+        t0 = time.time()
+        run_minhash(spark, big_turns, MinHashConfig()).assignments.count()
+        print(f"# flagship warmup {i}: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    flagship_walls, flagship_cpus = [], []
+    n_asg = 0
+    for _ in range(timed_runs):
+        cpu0, t0 = tree_cpu_seconds(), time.time()
+        res = run_minhash(spark, big_turns, MinHashConfig())
+        n_asg = res.assignments.count()
+        flagship_walls.append(round(time.time() - t0, 3))
+        flagship_cpus.append(round(tree_cpu_seconds() - cpu0, 1))
+    ranked = sorted(zip(flagship_walls, flagship_cpus))
+    med, flagship_cpu = ranked[len(ranked) // 2]
+    times["synthetic_flagship"] = med
+    print(f"# synthetic_flagship: {med}s (runs {flagship_walls}, "
+          f"cpu {flagship_cpu}s) ({n_big} turns -> {n_asg} convs)",
+          file=sys.stderr)
     if not turns_parquet:
         big_turns.unpersist()
     spark.catalog.clearCache()
@@ -123,6 +179,10 @@ def main():
         "turns": n_big,
         "sf_turns": n_turns,
         "flagship_sec": flagship,
+        "flagship_runs": flagship_walls,
+        "flagship_cpu_sec": flagship_cpu,
+        "flagship_util": round(flagship_cpu / (flagship * int(cpus)), 3)
+        if flagship else None,
         "turns_per_sec": round(n_big / flagship, 1) if flagship else None,
         "host_alloc_gbs": alloc_gbs,
         "host_alloc_gbs_after": host_alloc_gbs(),

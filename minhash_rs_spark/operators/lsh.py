@@ -27,10 +27,38 @@ rows regardless of bucket skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKET_KEY = ["band_id", "sig_hi", "sig_lo"]
+
+
+def chain_edges(members: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Consecutive-pair edges through each group's conv_id-sorted
+    members: (m1,m2), (m2,m3), ... — the reference's own bucket shape
+    (it chains consecutive DashMap members, src/main.rs:1031-1039).
+
+    Under verification this closes the giant-bucket recall hole: the
+    chain is a Hamiltonian path over the bucket, so removing the k
+    verification-failing outliers leaves every maximal run of true-dup
+    members connected — in particular a bucket-min outlier (which
+    sorts FIRST and so is a chain endpoint) can no longer disconnect
+    anything. Linear cost: exactly cnt-1 edges per group, in canonical
+    (src>dst) orientation because the sort is ascending.
+
+    Skew note: the window sorts one group per task. It is applied only
+    to cnt>pair_cap groups, which at a 128-bit bucket key are rare and
+    overwhelmingly true-dup crowds; the same membership already flows
+    through the star join-back, so the window adds a sort, not a new
+    skew class.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("conv_id")
+    return (members
+            .select(*key_cols, "conv_id",
+                    F.lag("conv_id").over(w).alias("_prev"))
+            .where(F.col("_prev").isNotNull())
+            .select(F.col("conv_id").alias("src"),
+                    F.col("_prev").alias("dst")))
 
 
 def lsh_buckets(sigs: DataFrame, salt_buckets: int = 0) -> DataFrame:
@@ -87,7 +115,7 @@ def star_edges(sigs: DataFrame, buckets: DataFrame | None = None,
 
 def pair_edges(sigs: DataFrame, buckets: DataFrame | None = None,
                salt_buckets: int = 0, pair_cap: int = 32,
-               sub_salt: int = 16) -> DataFrame:
+               sub_salt: int = 16, chain: bool = True) -> DataFrame:
     """Candidate edges for the VERIFIED path (jaccard_threshold set).
 
     Rep-anchored star edges are wrong under verification: a pair (b, c)
@@ -103,11 +131,14 @@ def pair_edges(sigs: DataFrame, buckets: DataFrame | None = None,
       * buckets with cnt > pair_cap (rare; at a 128-bit band key these
         are overwhelmingly true-dup crowds): star to the bucket min PLUS
         a salted sub-star (min per (bucket, xxhash(conv_id) % sub_salt))
-        — linear edge count (2 per member), and an outlier bucket-min
-        can no longer disconnect members that share a salt group. This
-        fallback is heuristic, not exhaustive: a giant bucket whose true
-        pairs all straddle salt groups AND fail their rep edges can
-        still lose pairs (documented, bounded to cnt > pair_cap).
+        PLUS the consecutive-member chain (chain_edges) — linear edge
+        count (3 per member). The chain closes the former salt-straddle
+        hole: crowd members adjacent in sorted order connect directly,
+        so an outlier bucket-min (a chain ENDPOINT, since the min sorts
+        first) cannot disconnect the rest; k interior outliers can
+        split the chain into at most k+1 runs, which the star/sub-star
+        edges then usually re-join (exhaustive only for pairs within a
+        run — documented, bounded to cnt > pair_cap).
 
     All groupBys are algebraic (min) — map-side partials absorb the
     mega-bucket before the shuffle; the join-backs are equi-joins that
@@ -138,5 +169,8 @@ def pair_edges(sigs: DataFrame, buckets: DataFrame | None = None,
                 .where(F.col("conv_id") != F.col("srep"))
                 .select(F.col("conv_id").alias("src"),
                         F.col("srep").alias("dst")))
-
-    return pairs.union(star).union(sub_star).distinct()
+    out = pairs.union(star).union(sub_star)
+    if chain:
+        out = out.union(chain_edges(bm.select(*BUCKET_KEY, "conv_id"),
+                                    BUCKET_KEY))
+    return out.distinct()

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from minhash_rs_spark.functions.udfs import with_simhash
 from minhash_rs_spark.operators.connected_components import connected_components
+from minhash_rs_spark.operators.lsh import chain_edges
 
 BLOCK_KEY = ["block_id", "block_val"]
 
@@ -61,7 +62,8 @@ def _block_rows(sigs: DataFrame, num_blocks: int) -> DataFrame:
 
 def simhash_candidate_edges(sigs: DataFrame, num_blocks: int = 4,
                             pair_cap: int = 32,
-                            sub_salt: int = 16) -> DataFrame:
+                            sub_salt: int = 16,
+                            chain: bool = True) -> DataFrame:
     """Candidate edges over pigeonhole blocks: all pairs for small block
     groups, star + salted sub-star for giant ones (see module doc)."""
     blocks = _block_rows(sigs, num_blocks)
@@ -91,8 +93,13 @@ def simhash_candidate_edges(sigs: DataFrame, num_blocks: int = 4,
                 .where(F.col("conv_id") != F.col("srep"))
                 .select(F.col("conv_id").alias("src"),
                         F.col("srep").alias("dst")))
-
-    return pairs.union(star).union(sub_star).distinct()
+    out = pairs.union(star).union(sub_star)
+    if chain:
+        # consecutive-member chain (lsh.chain_edges): closes the
+        # giant-block salt-straddle recall hole under Hamming verification
+        out = out.union(chain_edges(bm.select(*BLOCK_KEY, "conv_id"),
+                                    BLOCK_KEY))
+    return out.distinct()
 
 
 def simhash_verified_edges(edges: DataFrame, sigs: DataFrame,

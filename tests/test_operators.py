@@ -706,3 +706,83 @@ def test_containment_margin_over_cleaned_len():
         rows = duckdb.sql(f"SELECT text FROM '{path}'").fetchall()
         m = min(len(clean_text(t or "")) for (t,) in rows)
         assert m >= bound, (sf, m)
+
+
+# ---- giant-bucket chain fallback (VERDICT r2 #7) ----
+
+def _cc_of(spark, edges_df):
+    from minhash_rs_spark.operators.connected_components import (
+        connected_components)
+    return {r["conv_id"]: r["cc_id"]
+            for r in connected_components(edges_df).collect()}
+
+
+def test_giant_bucket_chain_keeps_salt_straddling_pairs(spark):
+    """Planted giant MIXED bucket: an outlier bucket-min that fails
+    verification + a true-dup crowd straddling both salt groups. The
+    pre-chain fallback (star + salted sub-star only) provably fractures
+    the crowd into per-salt-group components; the consecutive-member
+    chain keeps it whole."""
+    from minhash_rs_spark.functions.xxhash import xxhash64_signed
+    from minhash_rs_spark.operators.lsh import pair_edges
+    from minhash_rs_spark.operators.verify import verified_edges
+
+    pair_cap, sub_salt = 4, 2
+    crowd = [f"c{i:02d}" for i in range(1, 11)]
+    outlier = "0_out"  # sorts first -> bucket min / rep
+    assert outlier < min(crowd)
+    # precondition: the crowd genuinely straddles both salt groups
+    salts = {xxhash64_signed(c) % sub_salt for c in crowd}
+    assert salts == {0, 1}
+
+    rows = [(cid, 0, 7, 7) for cid in crowd + [outlier]]
+    sigs = spark.createDataFrame(
+        rows, "conv_id string, band_id int, sig_hi long, sig_lo long")
+    sh_rows = [(cid, [1, 2, 3, 4]) for cid in crowd] + \
+              [(outlier, [100, 101, 102])]
+    shingles = spark.createDataFrame(sh_rows,
+                                     "conv_id string, shingles array<long>")
+
+    def components(chain):
+        cand = pair_edges(sigs, pair_cap=pair_cap, sub_salt=sub_salt,
+                          chain=chain)
+        ver = verified_edges(cand, shingles, threshold=0.9)
+        cc = _cc_of(spark, ver)
+        return {cc.get(c, c) for c in crowd}
+
+    assert len(components(chain=False)) > 1   # the documented old hole
+    assert len(components(chain=True)) == 1   # chain closes it
+
+
+def test_giant_block_chain_simhash(spark):
+    """Same planted shape on the SimHash pigeonhole-block path."""
+    from minhash_rs_spark.functions.xxhash import xxhash64_signed
+    from minhash_rs_spark.operators.simhash import (
+        simhash_candidate_edges, simhash_verified_edges)
+
+    pair_cap, sub_salt = 4, 2
+    crowd = [f"c{i:02d}" for i in range(1, 11)]
+    salts = {xxhash64_signed(c) % sub_salt for c in crowd}
+    assert salts == {0, 1}
+    # crowd simhash 0; one outlier PER block, each sharing exactly that
+    # block (16 zero bits there, ones elsewhere -> Hamming 48, fails
+    # the <=3 verification) and each sorting FIRST in its block group,
+    # so every block group's rep is a failing outlier
+    mask64 = (1 << 64) - 1
+    rows = [(cid, 0) for cid in crowd]
+    for b in range(4):
+        sig = mask64 ^ (0xFFFF << (16 * b))  # zeros only in block b
+        sig = sig - (1 << 64) if sig >= 1 << 63 else sig
+        rows.append((f"0_out{b}", sig))
+    sigs = spark.createDataFrame(rows, "conv_id string, simhash long")
+
+    def components(chain):
+        cand = simhash_candidate_edges(sigs, num_blocks=4,
+                                       pair_cap=pair_cap,
+                                       sub_salt=sub_salt, chain=chain)
+        ver = simhash_verified_edges(cand, sigs, hamming_threshold=3)
+        cc = _cc_of(spark, ver)
+        return {cc.get(c, c) for c in crowd}
+
+    assert len(components(chain=False)) > 1
+    assert len(components(chain=True)) == 1
