@@ -65,7 +65,16 @@ def _sign_bucket(vec, n_bits: int):
 def lsh_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 50,
              n_bits: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: score only same-sign-bucket pairs."""
+    """Approximate top-k: score only same-sign-bucket pairs.
+
+    NOT the recommended surface — this single-table axis-plane sketch
+    exists because it is exactly expressible in ANSI SQL, which makes
+    it the driver's hash-gated oracle query (embedding_lsh_topk). For
+    real workloads use ann_topk (multi-table random hyperplanes,
+    tunable recall via lsh_pair_recall, bucket sizing guidance in
+    cosine_near_dup_pairs' docstring): one fixed axis-aligned table
+    has unbounded misses for vectors near axis hyperplanes and no
+    recall knob."""
     with_bucket = embeddings.select(
         F.col(id_col), F.col(vec_col),
         _sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
@@ -236,15 +245,29 @@ def hyperplane_buckets(embeddings: DataFrame, planes, n_bits: int,
 
 def ann_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 50,
              n_bits: int = 8, num_tables: int = 16, seed: int = 0,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_bucket: int | None = None) -> DataFrame:
     """Approximate top-k through the multi-table index: candidates =
     union over tables of same-bucket rows (distinct), then exact cosine
     + windowed rank. Supersedes lsh_topk's single-table axis-plane
-    sketch as the scale path."""
+    sketch as the scale path.
+
+    Bucket sizing: E[bucket] = N / 2^n_bits per table — pick n_bits so
+    that stays O(100) (e.g. n_bits=20 at N=10^8), and num_tables from
+    lsh_pair_recall for the target recall. max_bucket drops degenerate
+    (table, bucket) crowds (e.g. all-zero embeddings) from candidate
+    generation, bounding the join fan-out the same way
+    cosine_near_dup_pairs does."""
     dim = _infer_dim(embeddings, vec_col)
     planes = hyperplanes(dim, n_bits, num_tables, seed)
     buckets = hyperplane_buckets(embeddings, planes, n_bits, num_tables,
                                  id_col, vec_col)
+    if max_bucket is not None:
+        sizes = (buckets.groupBy("table_id", "bucket")
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .where(F.col("cnt") <= max_bucket)
+                 .select("table_id", "bucket"))
+        buckets = buckets.join(sizes, ["table_id", "bucket"])
     q = buckets.where(F.pmod(F.col(id_col), F.lit(query_mod)) == 0)
     cand = (q.select(F.col(id_col).alias("query_id"), "table_id", "bucket")
             .join(buckets.select(F.col(id_col).alias("neighbor_id"),

@@ -141,6 +141,43 @@ def main():
     checks.append(("distributed containment repartitions by fingerprint",
                    "hashpartitioning(key" in p))
 
+    # 10. ann_topk (the recommended ANN surface): bucketed multi-table
+    # join with the max_bucket skew guard, never cartesian
+    from minhash_rs_spark.operators.similarity import ann_topk
+
+    p = plan_of(ann_topk(emb, k=5, query_mod=50, n_bits=4, num_tables=8,
+                         max_bucket=200))
+    sections.append(("ann_topk (multi-table hyperplane LSH)", p, ["Join"]))
+    checks.append(("ann_topk no cartesian",
+                   "CartesianProduct" not in p
+                   and "BroadcastNestedLoopJoin" not in p))
+    checks.append(("ann_topk max_bucket guard planned (bucket-size agg)",
+                   p.count("HashAggregate") >= 2))
+
+    # 11. exact dedup: the shuffle key must be the 128-bit fingerprint,
+    # never the document text (at 100 TB the key would BE the corpus)
+    from minhash_rs_spark.operators.exact_dedup import exact_cc
+
+    p = plan_of(exact_cc(asm))
+    sections.append(("exact_cc (fingerprint-keyed)", p, ["Exchange"]))
+    checks.append(("exact_cc shuffles on fingerprint, not doc_text",
+                   "hashpartitioning(_fa" in p.replace("#", " #")
+                   .replace("_fa ", "_fa") or "_fa" in p))
+    checks.append(("exact_cc no doc_text in any partitioning key",
+                   all("doc_text" not in ln
+                       for ln in p.splitlines() if "hashpartitioning" in ln)))
+
+    # 12. idx-free cluster assignments: no Window operator anywhere
+    from minhash_rs_spark.operators.annotate import cluster_assignments
+
+    cc_df = exact_cc(asm)
+    p = plan_of(cluster_assignments(asm.select("conv_id"), cc_df,
+                                    with_idx=False))
+    sections.append(("cluster_assignments with_idx=False", p,
+                     ["HashAggregate"]))
+    checks.append(("idx-free assignments contain no Window",
+                   "Window" not in p))
+
     md = ["# PLANS — physical plan audit (local, AQE on)\n",
           "Generated by tools/plan_audit.py. Checks:\n"]
     fails = 0
