@@ -57,19 +57,24 @@ def gen_corpus(n_convs: int) -> str:
     path = f"{CORPUS_DIR}/turns_{n_convs}"
     if Path(path, "_SUCCESS").exists():
         return path
-    sys.path.insert(0, str(ROOT))
-    from minhash_rs_spark.data.transcripts import transcripts_spark_distributed
-    from minhash_rs_spark.session import get_spark
-
-    spark = get_spark("scaling-gen", master="local[32]",
-                      shuffle_partitions=64)
-    t0 = time.time()
-    turns = transcripts_spark_distributed(spark, n_base=n_convs, seed=42)
-    turns.write.mode("overwrite").parquet(path)
-    n = spark.read.parquet(path).count()
-    print(f"# generated {n} turns in {time.time() - t0:.0f}s -> {path}",
-          file=sys.stderr)
-    spark.stop()
+    # generate in a SUBPROCESS: spark.stop() does not kill the py4j JVM
+    # while the parent Python lives, and a lingering unpinned local[32]
+    # JVM (GC threads on all cores) contaminates every pinned leg
+    code = (
+        "import sys, time; sys.path.insert(0, %r)\n"
+        "from minhash_rs_spark.data.transcripts import "
+        "transcripts_spark_distributed\n"
+        "from minhash_rs_spark.session import get_spark\n"
+        "spark = get_spark('scaling-gen', master='local[32]', "
+        "shuffle_partitions=64)\n"
+        "t0 = time.time()\n"
+        "transcripts_spark_distributed(spark, n_base=%d, seed=42)"
+        ".write.mode('overwrite').parquet(%r)\n"
+        "n = spark.read.parquet(%r).count()\n"
+        "print(f'# generated {n} turns in {time.time()-t0:.0f}s', "
+        "file=sys.stderr)\n"
+        "spark.stop()\n" % (str(ROOT), n_convs, path, path))
+    subprocess.run([sys.executable, "-c", code], check=True)
     return path
 
 
