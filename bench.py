@@ -119,7 +119,10 @@ def main():
     # intermittently pathological (0.01 GB/s) while mapped-page reuse
     # stays ~8 GB/s, so timing a cold first run measures the host's
     # fault handler, not the engine (BENCH/BASELINE.md)
-    warmups = int(os.environ.get("SPARK_GRAFT_WARMUP_RUNS", "0"))
+    # default 1: one untimed warm-up so the timed flagship measures the
+    # engine, not this VM's first-touch fault handler (the cold run
+    # measured 24.8s vs 7.4-8.6s warm on the same commit+minute)
+    warmups = int(os.environ.get("SPARK_GRAFT_WARMUP_RUNS", "1"))
     timed_runs = max(1, int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "1")))
     for i in range(warmups):
         t0 = time.time()
