@@ -124,10 +124,12 @@ def main():
     # measured 24.8s vs 7.4-8.6s warm on the same commit+minute)
     warmups = int(os.environ.get("SPARK_GRAFT_WARMUP_RUNS", "1"))
     timed_runs = max(1, int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "1")))
+    warmup_walls = []
     for i in range(warmups):
         t0 = time.time()
         run_minhash(spark, big_turns, MinHashConfig()).assignments.count()
-        print(f"# flagship warmup {i}: {time.time() - t0:.1f}s",
+        warmup_walls.append(round(time.time() - t0, 3))
+        print(f"# flagship warmup {i}: {warmup_walls[-1]:.1f}s",
               file=sys.stderr)
     flagship_walls, flagship_cpus = [], []
     n_asg = 0
@@ -182,6 +184,13 @@ def main():
         "turns": n_big,
         "sf_turns": n_turns,
         "flagship_sec": flagship,
+        # cold = first run on the fresh JVM (the warm-up wall when
+        # warm-ups are on, else the first timed run). Compare cold to
+        # cold and warm (flagship_sec) to warm across rounds — BENCH_r02
+        # vs r03 were confounded by exactly this (BENCH/BASELINE.md)
+        "flagship_cold_sec": (warmup_walls[0] if warmup_walls
+                              else flagship_walls[0]),
+        "flagship_warmup_runs": warmup_walls,
         "flagship_runs": flagship_walls,
         "flagship_cpu_sec": flagship_cpu,
         "flagship_util": round(flagship_cpu / (flagship * int(cpus)), 3)

@@ -25,7 +25,17 @@ U64 = np.uint64
 
 # SlimPajama cleaning (ref: clean_text /root/reference/src/main.rs:598-614)
 _PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
-_PUNCT_TABLE = str.maketrans("", "", _PUNCT)
+# Non-whitespace C0 controls + DEL are STRIPPED in both the Python and
+# JVM cleaners (deliberate divergence: the reference keeps them and its
+# uniseg segmenter emits each as its own segment — immaterial at corpus
+# frequencies). Rationale: (a) Python's \s matches \x1c-\x1f but Java's
+# (?U)\s does not, so any surviving control byte breaks the JVM/Python
+# token-parity contract; (b) it guarantees no payload byte can ever
+# collide with an engine-internal sentinel. \t\n\v\f\r are left to the
+# whitespace collapse (both regex engines agree on those).
+_C0_STRIP = ("".join(chr(c) for c in range(0x20) if chr(c) not in "\t\n\v\f\r")
+             + "\x7f")
+_PUNCT_TABLE = str.maketrans("", "", _PUNCT + _C0_STRIP)
 _WS_RE = re.compile(r"\s+")
 
 # UAX#29 (the reference's uniseg tokenizer, src/main.rs:352-358) treats
@@ -40,7 +50,8 @@ _CJK_SPLIT_RE = re.compile(f"([{CJK_RANGES}])")
 
 
 def clean_text(text: str) -> str:
-    """Lowercase -> strip ASCII punctuation -> collapse whitespace -> trim."""
+    """Lowercase -> strip ASCII punctuation + non-ws C0 controls/DEL ->
+    collapse whitespace -> trim."""
     t = text.lower().translate(_PUNCT_TABLE)
     return _WS_RE.sub(" ", t).strip()
 

@@ -45,9 +45,12 @@ def assemble_documents(turns: DataFrame,
 
 def turn_token_hashes(text_col, mode: str = "words") -> "F.Column":
     """Whole-stage-codegen clean + tokenize + hash of one turn's text:
-    lower -> strip SlimPajama punctuation (translate) -> split CJK
-    ideographs per character (UAX#29 word bounds, kernel.CJK_RANGES) ->
-    split on unicode whitespace -> drop empties -> xxhash64 per token.
+    lower -> strip SlimPajama punctuation + non-ws C0 controls/DEL
+    (translate; see kernel._C0_STRIP rationale) -> split CJK ideographs
+    per character (UAX#29 word bounds, kernel.CJK_RANGES, via a
+    lookaround split — no sentinel byte that payload could collide
+    with) -> split on unicode whitespace -> drop empties -> xxhash64
+    per token.
 
     mode="uniseg" additionally emits a single-space token between
     adjacent word segments — exactly uniseg::split_word_bounds on
@@ -59,9 +62,10 @@ def turn_token_hashes(text_col, mode: str = "words") -> "F.Column":
     parity is asserted in tests. The (?U) flag makes Java's \\s match
     unicode whitespace like Python's re.
     """
-    from minhash_rs_spark.functions.kernel import CJK_RANGES
+    from minhash_rs_spark.functions.kernel import _C0_STRIP, CJK_RANGES
 
-    cleaned = F.translate(F.lower(F.coalesce(text_col, F.lit(""))), _PUNCT, "")
+    cleaned = F.translate(F.lower(F.coalesce(text_col, F.lit(""))),
+                          _PUNCT + _C0_STRIP, "")
     if mode == "uniseg":
         # cleaned has single spaces (clean_text collapses whitespace
         # upstream in the assembled doc; raw turn text may not be
@@ -72,8 +76,7 @@ def turn_token_hashes(text_col, mode: str = "words") -> "F.Column":
         segs = F.transform(
             words,
             lambda w: F.filter(
-                F.split(F.regexp_replace(w, f"([{CJK_RANGES}])", "$1"),
-                        ""),
+                F.split(w, f"(?<=[{CJK_RANGES}])|(?=[{CJK_RANGES}])"),
                 lambda t: t != ""))
         # intersperse the " " segment between words (not around CJK
         # splits), then drop the leading-empty-doc case

@@ -255,23 +255,29 @@ def ann_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 50,
     Bucket sizing: E[bucket] = N / 2^n_bits per table — pick n_bits so
     that stays O(100) (e.g. n_bits=20 at N=10^8), and num_tables from
     lsh_pair_recall for the target recall. max_bucket drops degenerate
-    (table, bucket) crowds (e.g. all-zero embeddings) from candidate
-    generation, bounding the join fan-out the same way
-    cosine_near_dup_pairs does."""
+    (table, bucket) crowds (e.g. all-zero embeddings) from the NEIGHBOR
+    side of candidate generation, bounding the join fan-out the same way
+    cosine_near_dup_pairs does; query rows are never filtered, so a
+    query keeps candidates from every table whose bucket is under the
+    cap. Residual (documented, ADVICE r3): a query whose bucket is
+    over-cap in EVERY table gets zero candidates and is absent from the
+    output — such queries sit in degenerate crowds by definition; size
+    n_bits so real data stays under the cap."""
     dim = _infer_dim(embeddings, vec_col)
     planes = hyperplanes(dim, n_bits, num_tables, seed)
     buckets = hyperplane_buckets(embeddings, planes, n_bits, num_tables,
                                  id_col, vec_col)
+    nbuckets = buckets
     if max_bucket is not None:
         sizes = (buckets.groupBy("table_id", "bucket")
                  .agg(F.count(F.lit(1)).alias("cnt"))
                  .where(F.col("cnt") <= max_bucket)
                  .select("table_id", "bucket"))
-        buckets = buckets.join(sizes, ["table_id", "bucket"])
+        nbuckets = buckets.join(sizes, ["table_id", "bucket"])
     q = buckets.where(F.pmod(F.col(id_col), F.lit(query_mod)) == 0)
     cand = (q.select(F.col(id_col).alias("query_id"), "table_id", "bucket")
-            .join(buckets.select(F.col(id_col).alias("neighbor_id"),
-                                 "table_id", "bucket"),
+            .join(nbuckets.select(F.col(id_col).alias("neighbor_id"),
+                                  "table_id", "bucket"),
                   ["table_id", "bucket"])
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id")

@@ -44,6 +44,13 @@ distribution):
     (after clean_text strips punctuation and collapses whitespace,
     UAX#29 word bounds = words and single-space segments, both of
     which are emitted as tokens exactly like split_word_bounds()).
+  * non-whitespace C0 controls + DEL: the ENGINE strips them in
+    clean_text (kernel._C0_STRIP — required for JVM/Python tokenizer
+    parity; Java's (?U)\\s and Python's \\s disagree on \\x1c-\\x1f),
+    while the reference keeps them (its uniseg emits each as its own
+    segment). This oracle models the reference and keeps them; the
+    recall-gate corpora contain no control bytes, so the comparison is
+    unaffected.
 """
 
 from __future__ import annotations

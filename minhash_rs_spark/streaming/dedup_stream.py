@@ -44,6 +44,16 @@ def streaming_exact_dedup(stream: DataFrame,
     10^12 turns a single 64-bit hash has a >2% birthday-collision
     chance of silently dropping a unique document; at 128 bits the
     probability is ~1e-14.
+
+    STATE-KEY VERSIONING (ADVICE r3): the fingerprint columns ARE the
+    dropDuplicatesWithinWatermark state key. Changing the fingerprint
+    definition (as round 3 did, fixing _fp_b from xxhash64(txt, const)
+    to the independent xxhash64(const, txt)) silently invalidates state
+    recorded under the old definition: a query RESTARTED from an
+    existing checkpoint re-admits duplicates that straddle the upgrade
+    within the watermark window. When upgrading the fingerprint, start
+    from a fresh checkpoint directory (and if at-most-once matters,
+    re-run batch exact dedup over the overlap window).
     """
     fa, fb = fingerprint128(text_col)
     return (

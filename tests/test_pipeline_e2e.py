@@ -285,3 +285,35 @@ def test_uniseg_tokenization_parity_jvm_vs_python(spark):
         want = [int(x) for x in
                 tokenize(clean_text(s), "uniseg").view("int64")]
         assert list(got) == want, s
+
+
+def test_control_char_tokenization_parity_jvm_vs_python(spark):
+    """Non-whitespace C0 controls + DEL are stripped identically on both
+    paths (kernel._C0_STRIP): a literal \\x01 (the old JVM sentinel byte)
+    or \\x1c-\\x1f (Python-\\s-only whitespace) in payload text can no
+    longer diverge the JVM codegen tokenizer from the Python kernel."""
+    from minhash_rs_spark.functions.kernel import clean_text, tokenize
+    from minhash_rs_spark.operators.doc_assembly import turn_token_hashes
+    from pyspark.sql import functions as F
+
+    samples = [
+        "foo\x01bar baz",                      # the ADVICE repro case
+        "".join(chr(c) for c in range(9)) + "x",   # \x00-\x08 run
+        "a\x0eb c\x1fd",                       # \x0e-\x1f family
+        "del\x7fchar",
+        "\x1c\x1d\x1e\x1f",                    # Python-\s-only ws, alone
+        "mixed \x01中\x02文\x03 cjk",
+        "\x01",
+        "",
+    ]
+    # stripped, not split: foo\x01bar is ONE token on both paths
+    assert len(tokenize(clean_text("foo\x01bar baz"), "words")) == 2
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    for mode in ("words", "uniseg"):
+        jvm = [r["h"] for r in
+               df.select(turn_token_hashes(F.col("text"), mode)
+                         .alias("h")).collect()]
+        for s, got in zip(samples, jvm):
+            want = [int(x) for x in
+                    tokenize(clean_text(s), mode).view("int64")]
+            assert list(got) == want, (mode, s.encode())

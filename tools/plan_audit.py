@@ -160,9 +160,13 @@ def main():
 
     p = plan_of(exact_cc(asm))
     sections.append(("exact_cc (fingerprint-keyed)", p, ["Exchange"]))
+    # falsifiable form (the old `or "_fa" in p` fallback was vacuous —
+    # ADVICE r3): every hashpartitioning line must key on the
+    # fingerprint halves, and at least one such line must exist
+    _hp = [ln for ln in p.splitlines() if "hashpartitioning" in ln]
     checks.append(("exact_cc shuffles on fingerprint, not doc_text",
-                   "hashpartitioning(_fa" in p.replace("#", " #")
-                   .replace("_fa ", "_fa") or "_fa" in p))
+                   bool(_hp) and any("_fa" in ln and "_fb" in ln
+                                     for ln in _hp)))
     checks.append(("exact_cc no doc_text in any partitioning key",
                    all("doc_text" not in ln
                        for ln in p.splitlines() if "hashpartitioning" in ln)))
