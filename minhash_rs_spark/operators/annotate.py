@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 
 def cluster_assignments(docs: DataFrame, cc: DataFrame,
-                        with_idx: bool = True) -> DataFrame:
+                        with_idx: bool = True,
+                        idx_partitions: int | None = None) -> DataFrame:
     """Full per-conversation cluster table (conv_id, cc_id, cc_size[, cc_idx]).
 
     docs: one row per conv_id. cc: (conv_id, cc_id) for non-singletons.
@@ -27,12 +28,13 @@ def cluster_assignments(docs: DataFrame, cc: DataFrame,
     cc_size is algebraic (groupBy + join), never a window: a window
     over partitionBy(cc_id) lands a degenerate mega-component (e.g.
     every empty doc clustering together) in a single task, while the
-    groupBy's map-side partial aggregation absorbs it. cc_idx (a
-    per-member ordinal, ref annotation quad src/main.rs:1256-1319)
-    inherently requires an in-component sort, so it stays a window —
-    pass with_idx=False on paths that only need sizes or survivor
-    election (prune/dedup mode, histograms); survivors() below is
-    idx-free by construction.
+    groupBy's map-side partial aggregation absorbs it. cc_idx (the
+    per-member ordinal of the reference's annotation quad,
+    src/main.rs:1256-1319) is computed DISTRIBUTED (_cc_idx below) —
+    no whole-component window task even for a mega-component. Pass
+    with_idx=False on paths that only need sizes or survivor election
+    (prune/dedup mode, histograms); survivors() below is idx-free by
+    construction.
     """
     labeled = (docs.select("conv_id")
                .join(cc, "conv_id", "left")
@@ -40,9 +42,53 @@ def cluster_assignments(docs: DataFrame, cc: DataFrame,
     sizes = labeled.groupBy("cc_id").agg(F.count(F.lit(1)).alias("cc_size"))
     out = labeled.join(sizes, "cc_id").select("conv_id", "cc_id", "cc_size")
     if with_idx:
-        wo = Window.partitionBy("cc_id").orderBy("conv_id")
-        out = out.withColumn("cc_idx", F.row_number().over(wo) - F.lit(1))
+        out = _cc_idx(out, idx_partitions)
     return out
+
+
+def _cc_idx(out: DataFrame, idx_partitions: int | None = None) -> DataFrame:
+    """cc_idx = rank of conv_id within its component — distributed
+    (VERDICT r3 #4: the old partitionBy(cc_id) window serialized a
+    mega-component into one sort task).
+
+    Order-preserving two-phase ordinal:
+      1. range-repartition by (cc_id, conv_id) into `idx_partitions`
+         splits — range partitioning is ORDER-COMPATIBLE: within a
+         component, every member in partition i sorts before every
+         member in partition j>i, and no partition exceeds ~N/parts
+         rows regardless of component skew (the range sampler splits a
+         mega-component across partitions);
+      2. local rank: row_number over (partition-id, cc_id) — the
+         largest window group is one component's slice WITHIN one range
+         split, bounded by the split size;
+      3. offsets: per-(cc_id, partition-id) counts (algebraic groupBy),
+         cumulative-summed per component over partition-id order — a
+         window over <= idx_partitions rows per component;
+      4. cc_idx = local rank + offset.
+
+    Identical to row_number() over (partition by cc_id order by
+    conv_id) - 1 by construction (asserted in tests incl. a planted
+    1M-member single component). Determinism: the range sampler is
+    seeded per-partition (deterministic for a deterministic input), and
+    both consumers of the ranked stage share one exchange (ReusedExchange).
+    """
+    parts = idx_partitions or int(
+        out.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = (out.repartitionByRange(parts, "cc_id", "conv_id")
+            .withColumn("_pid", F.spark_partition_id()))
+    wl = Window.partitionBy("_pid", "cc_id").orderBy("conv_id")
+    ranked = base.withColumn("_lrank", F.row_number().over(wl) - F.lit(1))
+    counts = (ranked.groupBy("cc_id", "_pid")
+              .agg(F.count(F.lit(1)).alias("_n")))
+    wo = (Window.partitionBy("cc_id").orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (counts
+               .withColumn("_off", F.coalesce(F.sum("_n").over(wo), F.lit(0)))
+               .select("cc_id", "_pid", "_off"))
+    return (ranked.join(offsets, ["cc_id", "_pid"])
+            .withColumn("cc_idx",
+                        (F.col("_lrank") + F.col("_off")).cast("int"))
+            .drop("_pid", "_lrank", "_off"))
 
 
 def annotate_turns(turns: DataFrame, assignments: DataFrame,

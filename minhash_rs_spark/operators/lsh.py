@@ -33,32 +33,57 @@ from pyspark.sql import functions as F
 BUCKET_KEY = ["band_id", "sig_hi", "sig_lo"]
 
 
-def chain_edges(members: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Consecutive-pair edges through each group's conv_id-sorted
-    members: (m1,m2), (m2,m3), ... — the reference's own bucket shape
-    (it chains consecutive DashMap members, src/main.rs:1031-1039).
+def chain_edges(members: DataFrame, key_cols: list[str],
+                chain_salt: int = 256) -> DataFrame:
+    """Consecutive-member edges forming one Hamiltonian path per group
+    over the order (chain_salt hash, conv_id) — the salted successor of
+    the reference's consecutive-DashMap-member chains
+    (src/main.rs:1031-1039), computed WITHOUT any window over the whole
+    group (VERDICT r3 #2: a 10^8-member degenerate crowd — e.g. empty
+    docs at 100x scale — must never become one sort task):
 
-    Under verification this closes the giant-bucket recall hole: the
-    chain is a Hamiltonian path over the bucket, so removing the k
-    verification-failing outliers leaves every maximal run of true-dup
-    members connected — in particular a bucket-min outlier (which
-    sorts FIRST and so is a chain endpoint) can no longer disconnect
-    anything. Linear cost: exactly cnt-1 edges per group, in canonical
-    (src>dst) orientation because the sort is ascending.
+      * members are salted into chain_salt sub-groups by
+        xxhash64(conv_id); the consecutive-pair chain runs inside each
+        (group, salt) window, so the largest single window task holds
+        ~cnt/chain_salt rows, not cnt;
+      * adjacent non-empty salt groups are then linked by ONE edge from
+        the next group's min member to the previous group's max member.
+        min/max per salt group are algebraic (map-side partials absorb
+        the crowd); the linking window sees <= chain_salt rows per
+        group.
 
-    Skew note: the window sorts one group per task. It is applied only
-    to cnt>pair_cap groups, which at a 128-bit bucket key are rare and
-    overwhelmingly true-dup crowds; the same membership already flows
-    through the star join-back, so the window adds a sort, not a new
-    skew class.
+    The union is exactly a Hamiltonian path over the group in
+    (salt, conv_id) order — cnt-1 edges, linear — so under verification
+    the old recall argument survives intact: k verification-failing
+    interior outliers split the path into <= k+1 runs (which star /
+    sub-star edges then usually re-join), just over a different total
+    order. Callers EXCLUDE the group rep (bucket min) from `members`:
+    the rep is fully served by the star edges, and keeping it out of
+    the chain preserves the guarantee that a false-positive bucket-min
+    cannot disconnect the remaining crowd (in the old single-sorted
+    chain it was an endpoint; in salted order it could land anywhere).
+    Edges are normalized to src > dst.
     """
-    w = Window.partitionBy(*key_cols).orderBy("conv_id")
-    return (members
-            .select(*key_cols, "conv_id",
-                    F.lag("conv_id").over(w).alias("_prev"))
-            .where(F.col("_prev").isNotNull())
-            .select(F.col("conv_id").alias("src"),
-                    F.col("_prev").alias("dst")))
+    salted = members.withColumn(
+        "_csalt", F.pmod(F.xxhash64("conv_id"), F.lit(chain_salt)))
+    w = Window.partitionBy(*key_cols, "_csalt").orderBy("conv_id")
+    intra = (salted
+             .select(*key_cols, "_csalt", "conv_id",
+                     F.lag("conv_id").over(w).alias("_prev"))
+             .where(F.col("_prev").isNotNull())
+             .select(F.col("conv_id").alias("src"),
+                     F.col("_prev").alias("dst")))
+    bounds = (salted.groupBy(*key_cols, "_csalt")
+              .agg(F.min("conv_id").alias("_gmin"),
+                   F.max("conv_id").alias("_gmax")))
+    wl = Window.partitionBy(*key_cols).orderBy("_csalt")
+    cross = (bounds
+             .select(*key_cols, "_gmin",
+                     F.lag("_gmax").over(wl).alias("_pmax"))
+             .where(F.col("_pmax").isNotNull())
+             .select(F.greatest("_gmin", "_pmax").alias("src"),
+                     F.least("_gmin", "_pmax").alias("dst")))
+    return intra.union(cross)
 
 
 def lsh_buckets(sigs: DataFrame, salt_buckets: int = 0) -> DataFrame:
@@ -131,14 +156,16 @@ def pair_edges(sigs: DataFrame, buckets: DataFrame | None = None,
       * buckets with cnt > pair_cap (rare; at a 128-bit band key these
         are overwhelmingly true-dup crowds): star to the bucket min PLUS
         a salted sub-star (min per (bucket, xxhash(conv_id) % sub_salt))
-        PLUS the consecutive-member chain (chain_edges) — linear edge
-        count (3 per member). The chain closes the former salt-straddle
-        hole: crowd members adjacent in sorted order connect directly,
-        so an outlier bucket-min (a chain ENDPOINT, since the min sorts
-        first) cannot disconnect the rest; k interior outliers can
-        split the chain into at most k+1 runs, which the star/sub-star
-        edges then usually re-join (exhaustive only for pairs within a
-        run — documented, bounded to cnt > pair_cap).
+        PLUS the salt-local consecutive-member chain (chain_edges; the
+        rep is excluded from chain membership) — linear edge count
+        (3 per member). The chain closes the salt-straddle hole: it is
+        a Hamiltonian path over the non-rep members, so an outlier
+        bucket-min (not in the chain at all) cannot disconnect the
+        rest; k interior outliers can split the chain into at most k+1
+        runs, which the star/sub-star edges then usually re-join
+        (exhaustive only for pairs within a run — documented, bounded
+        to cnt > pair_cap). No chain window task ever sees more than
+        ~cnt/chain_salt members (chain_edges docstring).
 
     All groupBys are algebraic (min) — map-side partials absorb the
     mega-bucket before the shuffle; the join-backs are equi-joins that
@@ -171,6 +198,9 @@ def pair_edges(sigs: DataFrame, buckets: DataFrame | None = None,
                         F.col("srep").alias("dst")))
     out = pairs.union(star).union(sub_star)
     if chain:
-        out = out.union(chain_edges(bm.select(*BUCKET_KEY, "conv_id"),
-                                    BUCKET_KEY))
+        # rep excluded: served by star edges; see chain_edges docstring
+        out = out.union(chain_edges(
+            bm.where(F.col("conv_id") != F.col("rep"))
+              .select(*BUCKET_KEY, "conv_id"),
+            BUCKET_KEY))
     return out.distinct()

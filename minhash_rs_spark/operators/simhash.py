@@ -95,10 +95,13 @@ def simhash_candidate_edges(sigs: DataFrame, num_blocks: int = 4,
                         F.col("srep").alias("dst")))
     out = pairs.union(star).union(sub_star)
     if chain:
-        # consecutive-member chain (lsh.chain_edges): closes the
-        # giant-block salt-straddle recall hole under Hamming verification
-        out = out.union(chain_edges(bm.select(*BLOCK_KEY, "conv_id"),
-                                    BLOCK_KEY))
+        # salt-local consecutive-member chain (lsh.chain_edges, rep
+        # excluded): closes the giant-block salt-straddle recall hole
+        # under Hamming verification without any whole-block window task
+        out = out.union(chain_edges(
+            bm.where(F.col("conv_id") != F.col("rep"))
+              .select(*BLOCK_KEY, "conv_id"),
+            BLOCK_KEY))
     return out.distinct()
 
 

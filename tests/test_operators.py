@@ -660,6 +660,76 @@ def test_mega_component_survivors_window_free(spark):
     assert asg.where("cc_size = 20000").count() == 20000
 
 
+def test_cc_idx_distributed_equals_window_formula(spark):
+    """_cc_idx (range-partition + local rank + offsets) must equal
+    row_number over (partition by cc_id order by conv_id) - 1 exactly,
+    on an adversarial mix: random components, a dominant component,
+    singletons — across several idx_partitions values including
+    parts > rows and parts = 1."""
+    import random
+
+    from pyspark.sql import Window
+    from minhash_rs_spark.operators.annotate import cluster_assignments
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(2000):
+        cid = f"v{rng.randrange(120):04d}"          # random components
+        rows.append((f"c{i:05d}", cid))
+    for i in range(2000, 3500):
+        rows.append((f"c{i:05d}", "v9999"))          # dominant component
+    cc = spark.createDataFrame(rows, ["conv_id", "cc_id"])
+    docs = cc.select("conv_id")
+
+    expect = {
+        (r["conv_id"], r["cc_id"], r["cc_idx"]) for r in cc.withColumn(
+            "cc_idx",
+            F.row_number().over(
+                Window.partitionBy("cc_id").orderBy("conv_id")) - F.lit(1)
+        ).collect()}
+    for parts in (1, 7, 64, 5000):
+        got = {(r["conv_id"], r["cc_id"], r["cc_idx"])
+               for r in cluster_assignments(docs, cc, with_idx=True,
+                                            idx_partitions=parts)
+               .select("conv_id", "cc_id", "cc_idx").collect()}
+        assert got == expect, parts
+
+
+def test_mega_component_cc_idx_no_whole_component_window_task(spark):
+    """VERDICT r3 #4: annotate-mode cc_idx on a planted 1M-member single
+    component — every Window in the plan partitions by the range-split
+    id (never by cc_id alone over raw members), no (pid, cc_id) window
+    group approaches the full component, and the ordinal is exactly the
+    global conv_id rank."""
+    from minhash_rs_spark.operators.annotate import cluster_assignments
+
+    n, parts = 1_000_000, 64
+    docs = spark.range(n).select(
+        F.format_string("c%07d", "id").alias("conv_id"))
+    cc = docs.select("conv_id", F.lit("c0000000").alias("cc_id"))
+    asg = cluster_assignments(docs, cc, with_idx=True, idx_partitions=parts)
+
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    win_specs = [ln for ln in plan.splitlines()
+                 if "windowspecdefinition" in ln]
+    assert win_specs
+    # the member-rank window carries _pid; the offsets window orders by
+    # _pid over per-(cc_id, pid) aggregates (<= parts rows/component)
+    assert all("_pid" in ln for ln in win_specs), win_specs
+    assert "rangepartitioning" in plan
+
+    # range partitioning bounds every (pid, cc_id) window group by the
+    # split size (~n/parts); correctness of the stitched ordinal:
+    stats = asg.agg(F.max("cc_idx").alias("mx"),
+                    F.countDistinct("cc_idx").alias("nd"),
+                    F.min("cc_idx").alias("mn")).collect()[0]
+    assert (stats["mn"], stats["mx"], stats["nd"]) == (0, n - 1, n)
+    # exact order: cc_idx == numeric suffix of conv_id for every member
+    mismatch = asg.where(
+        F.col("cc_idx") != F.expr("int(substring(conv_id, 2, 7))")).count()
+    assert mismatch == 0
+
+
 def test_containment_short_short_pair_distributed(spark):
     """ADVICE r2 #1 regression: containee AND container both below the
     window+kgram-1 exactness bound, chosen so the container's global
@@ -752,6 +822,60 @@ def test_giant_bucket_chain_keeps_salt_straddling_pairs(spark):
 
     assert len(components(chain=False)) > 1   # the documented old hole
     assert len(components(chain=True)) == 1   # chain closes it
+
+
+def test_giant_bucket_chain_no_whole_bucket_window_task(spark):
+    """VERDICT r3 #2: a degenerate 1M-member single bucket must never
+    be sorted by one window task. chain_edges salts the chain — the
+    plan's within-group Window partitions by the salt column, the
+    largest (bucket, salt) group is ~cnt/chain_salt, and the emitted
+    edges still form one Hamiltonian path over the bucket: exactly
+    cnt-1 edges and a single connected component."""
+    from pyspark.sql import functions as F
+    from minhash_rs_spark.operators.lsh import chain_edges
+
+    n, chain_salt = 1_000_000, 256
+    key = ["band_id", "sig_hi", "sig_lo"]
+    members = (spark.range(n)
+               .select(F.lit(0).alias("band_id"),
+                       F.lit(7).alias("sig_hi"),
+                       F.lit(7).alias("sig_lo"),
+                       F.format_string("c%07d", "id").alias("conv_id")))
+    edges = chain_edges(members, key, chain_salt=chain_salt)
+
+    # plan: every Window spec carries _csalt — the intra-chain window
+    # partitions by it (so no task sorts the whole bucket); the
+    # cross-link window orders by it over <=chain_salt aggregated rows
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    win_specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win_specs
+    assert all("_csalt" in ln for ln in win_specs), win_specs
+
+    # no single window task receives the whole bucket: the largest salt
+    # sub-group is ~n/chain_salt (binomial; assert a generous 3x bound)
+    max_grp = (members
+               .withColumn("_csalt", F.pmod(F.xxhash64("conv_id"),
+                                            F.lit(chain_salt)))
+               .groupBy(*key, "_csalt").count()
+               .agg(F.max("count")).collect()[0][0])
+    assert max_grp < 3 * n / chain_salt, max_grp
+
+    # Hamiltonian: cnt-1 edges, fully connected, no self-loops
+    rows = edges.collect()
+    assert len(rows) == n - 1
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = int(r["src"][1:]), int(r["dst"][1:])
+        assert a != b
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n)}) == 1
 
 
 def test_giant_block_chain_simhash(spark):

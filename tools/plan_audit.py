@@ -182,6 +182,31 @@ def main():
     checks.append(("idx-free assignments contain no Window",
                    "Window" not in p))
 
+    # 13. annotate-mode cc_idx: distributed two-phase ordinal — range
+    # split + per-split windows only (never partitionBy(cc_id) over raw
+    # members, which would serialize a mega-component into one task)
+    p = plan_of(cluster_assignments(asm.select("conv_id"), cc_df,
+                                    with_idx=True))
+    sections.append(("cluster_assignments with_idx=True (distributed "
+                     "cc_idx)", p, ["Window"]))
+    _ws = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    checks.append(("cc_idx windows all carry the range-split id (_pid)",
+                   bool(_ws) and all("_pid" in ln for ln in _ws)))
+    checks.append(("cc_idx uses range partitioning",
+                   "rangepartitioning" in p))
+
+    # 14. giant-bucket chain edges: every chain window is salt-local
+    from minhash_rs_spark.operators.lsh import chain_edges
+
+    p = plan_of(chain_edges(sigs.select("band_id", "sig_hi", "sig_lo",
+                                        "conv_id"),
+                            ["band_id", "sig_hi", "sig_lo"]))
+    sections.append(("chain_edges (salt-local Hamiltonian chain)", p,
+                     ["Window"]))
+    _ws = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    checks.append(("chain windows all salt-local (_csalt in every spec)",
+                   bool(_ws) and all("_csalt" in ln for ln in _ws)))
+
     md = ["# PLANS — physical plan audit (local, AQE on)\n",
           "Generated by tools/plan_audit.py. Checks:\n"]
     fails = 0
