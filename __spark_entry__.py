@@ -322,6 +322,49 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
                       F.col("vec_b").cast("long").alias("vec_b"))
 
 
+def q_streaming_band_dedup(spark, sf_dir):
+    """The CUSTOM STATEFUL streaming operator executed for real
+    (availableNow): documents -> streaming MinHash band signatures (the
+    same mapInArrow kernel as the batch path, stateless in-stream) ->
+    applyInPandasWithState bucket claims (streaming/dedup_stream.
+    streaming_stateful_band_dedup — per-LSH-bucket state holding the
+    first claimant, processing-time timeout bounding state). Returns a
+    per-document summary (doc_id, n_bands, n_matched_bands). Rows-only
+    driver check: band signatures are MinHash-kernel numbers no
+    independent SQL engine reproduces; the operator's state, timeout
+    and empty-batch semantics are unit-tested in tests/test_streaming.py."""
+    import os
+    import tempfile
+    import uuid
+
+    from minhash_rs_spark.streaming.dedup_stream import (
+        streaming_minhash_sigs, streaming_stateful_band_dedup)
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
+    stream = (spark.readStream.schema(schema).parquet(src_dir)
+              .withColumn("doc_id", F.col("doc_id").cast("string")))
+    sigs = streaming_minhash_sigs(stream, id_col="doc_id", text_col="text")
+    # NoTimeout: a finite availableNow drive must terminate with the
+    # data; processing-time timers would keep cleanup batches running
+    # (see streaming_stateful_band_dedup docstring)
+    claims = streaming_stateful_band_dedup(sigs, state_timeout_min=None)
+    name = "stream_band_" + uuid.uuid4().hex[:8]
+    q = (claims.writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", f"/tmp/stream_ck/{name}")
+         .start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_bands"),
+                 F.sum(F.col("matched").cast("long")).alias("n_matched_bands"))
+            .select(F.col("conv_id").cast("long").alias("doc_id"),
+                    "n_bands", "n_matched_bands"))
+
+
 # ---- non-SQL-expressible (MinHash/SimHash kernels, iterative CC):
 # rows-only checks by design -------------------------------------------------
 
@@ -463,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_exact_dedup": q_streaming_exact_dedup,
         # non-SQL-expressible: rows-only checks
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "streaming_band_dedup": q_streaming_band_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_clusters": q_minhash_clusters,
         "minhash_clusters_verified": q_minhash_clusters_verified,

@@ -86,7 +86,7 @@ def _sig_rows_streaming(docs: DataFrame, cfg: MinHashConfig) -> DataFrame:
     return band_signature_rows(shingle_sets(docs, cfg), cfg)
 
 
-def _band_dedup_fn(key, pdfs, state, state_timeout_min: int):
+def _band_dedup_fn(key, pdfs, state, state_timeout_min: float | None):
     """Stateful kernel of streaming_stateful_band_dedup (module-level so
     the timeout path is unit-testable without a live streaming query).
 
@@ -110,7 +110,8 @@ def _band_dedup_fn(key, pdfs, state, state_timeout_min: int):
     else:
         first = str(rows["conv_id"].iloc[0])
     state.update((first,))
-    state.setTimeoutDuration(state_timeout_min * 60 * 1000)
+    if state_timeout_min is not None:
+        state.setTimeoutDuration(max(1, int(state_timeout_min * 60 * 1000)))
     out = pd.DataFrame({
         "band_id": band_id, "sig_hi": sig_hi, "sig_lo": sig_lo,
         "conv_id": rows["conv_id"].values,
@@ -123,7 +124,8 @@ def _band_dedup_fn(key, pdfs, state, state_timeout_min: int):
 def streaming_stateful_band_dedup(sig_stream: DataFrame,
                                   ts_col: str = "ts",
                                   watermark: str = "30 minutes",
-                                  state_timeout_min: int = 60) -> DataFrame:
+                                  state_timeout_min: float | None = 60
+                                  ) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): LSH
     near-dup suppression over a signature stream.
 
@@ -139,6 +141,15 @@ def streaming_stateful_band_dedup(sig_stream: DataFrame,
 
     This is the streaming analog of lsh.star_edges: candidate pairs
     (conv, first_conv) feed the same verification/CC batch jobs.
+
+    availableNow note: with ProcessingTimeTimeout, an availableNow
+    query keeps running no-data state-cleanup batches after the data is
+    done (observed: 100+ rapid cleanup batches even with sub-second
+    timers). Batch-style finite drives (the __spark_entry__ check) pass
+    state_timeout_min=None -> GroupStateTimeout.NoTimeout, so the query
+    terminates when the data is exhausted; a real 24/7 stream keeps the
+    timeout, whose firing/removal branch is unit-tested directly in
+    tests/test_streaming.py.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql import types as T
@@ -158,8 +169,9 @@ def streaming_stateful_band_dedup(sig_stream: DataFrame,
     def fn(key, pdfs, state):
         return _band_dedup_fn(key, pdfs, state, state_timeout_min)
 
+    timeout_conf = (GroupStateTimeout.NoTimeout if state_timeout_min is None
+                    else GroupStateTimeout.ProcessingTimeTimeout)
     return (sig_stream
             .groupBy("band_id", "sig_hi", "sig_lo")
             .applyInPandasWithState(fn, out_schema, state_schema,
-                                    "append",
-                                    GroupStateTimeout.ProcessingTimeTimeout))
+                                    "append", timeout_conf))

@@ -29,7 +29,9 @@ whose allocation bandwidth swung 3x between legs):
 
 Writes BENCH/SCALING.md and prints a JSON summary.
 
-Usage: python tools/scaling_bench.py [sf_dir] [N] [n_convs] [pairs]
+Usage: python tools/scaling_bench.py [sf_dir] [N] [n_convs] [pairs] [out_md]
+  out_md (default SCALING.md) names the BENCH/ output file, so a second
+  corpus size can be recorded alongside the first (VERDICT r3 #3).
 """
 
 from __future__ import annotations
@@ -116,6 +118,7 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_convs = int(sys.argv[3]) if len(sys.argv) > 3 else 1_100_000
     pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    out_md = sys.argv[5] if len(sys.argv) > 5 else "SCALING.md"
     corpus = gen_corpus(n_convs)
 
     legs: list[dict] = []
@@ -202,7 +205,7 @@ Amdahl fit (T = s + W/cores): serial s = {s:.1f}s, parallel work
 W = {w:.0f} core-seconds -> predicted efficiency at {n}->{4 * n} cores
 = {(s + w / n) / (4 * (s + w / (4 * n))):.3f}.
 """
-    (bench_dir / "SCALING.md").write_text(md)
+    (bench_dir / out_md).write_text(md)
     print(json.dumps(summary))
 
 
