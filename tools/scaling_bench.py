@@ -81,12 +81,19 @@ def gen_corpus(n_convs: int) -> str:
 
 
 def run_leg(corpus: str, sf_dir: str, cpus: int, leg_id: str) -> dict:
+    # wall-clock contingency knob: a long-corpus run scheduled behind
+    # other benches can be trimmed mid-flight by writing a run count
+    # into this file (read at leg start, so it applies to queued legs)
+    timed = "3"
+    knob = Path("/tmp/scaling_timed_runs")
+    if knob.exists():
+        timed = knob.read_text().strip() or "3"
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cpus), PYTHONPATH=str(ROOT),
                SPARK_GRAFT_TURNS_PARQUET=corpus,
                SPARK_GRAFT_FLAGSHIP_ONLY="1",
                SPARK_GRAFT_WARMUP_RUNS="1",
-               SPARK_GRAFT_TIMED_RUNS="3",
+               SPARK_GRAFT_TIMED_RUNS=timed,
                **MALLOC_ENV)
     cmd = [sys.executable, str(ROOT / "bench.py")]
     if shutil.which("taskset"):
