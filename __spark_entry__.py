@@ -229,6 +229,34 @@ def q_word_jaccard_pairs(spark, sf_dir):
                       "n_common", "jaccard_e6")
 
 
+_STRIDES = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+
+def q_shingle_jaccard_pairs(spark, sf_dir):
+    """Exact k-gram shingle-Jaccard (the MinHash verify kernel:
+    kernel-tokenize -> rolling-poly shingles -> sorted-unique set ->
+    vectorized intersection count) over the DETERMINISTIC stride pair
+    set {(doc_id, doc_id+d) : d in 1..3}. Every LSH-derived pair set is
+    kernel-dependent (rows-only at the gate); this one is pure input,
+    so the DuckDB oracle checks the verify kernel's exact integer
+    intersection/union counts value-for-value — the oracle anchor for
+    the rows-only minhash_clusters_verified / true_jaccard_pairs
+    queries. Ref: jaccard_similarity src/main.rs:1673-1677."""
+    from minhash_rs_spark.functions.udfs import shingle_sets
+    from minhash_rs_spark.operators.verify import stride_pair_jaccards
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.coalesce("text", F.lit("")).alias("doc_text"))
+    sh = shingle_sets(docs, MinHashConfig())
+    # log-spaced strides: samples pair distances at every scale for
+    # O(N log N) total pairs, and (unlike adjacent-only) actually hits
+    # planted near-dup pairs with nonzero intersections in the testdata
+    return stride_pair_jaccards(sh, deltas=_STRIDES).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+        "n_inter", "n_union", "jac_e6")
+
+
 def q_bpe_token_count(spark, sf_dir):
     """BPE-ish sub-word token counting (word / single digit / punct)."""
     docs = _docs(spark, sf_dir)
@@ -499,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "cc_size_histogram": q_cc_size_histogram,
         "word_jaccard_pairs": q_word_jaccard_pairs,
+        "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "bpe_token_count": q_bpe_token_count,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -687,6 +716,31 @@ def oracle_sql() -> dict[str, str]:
                   // greatest(CAST(len(wa.words) + len(wb.words)
                                    - len(list_intersect(wa.words, wb.words)) AS BIGINT), 1)
                   >= 200000
+        """,
+        "shingle_jaccard_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(str_split({_NORM}, ' '), x -> x != '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 5
+                          THEN list_distinct(list_transform(
+                                 range(1, len(t) - 3),
+                                 i -> array_to_string(
+                                        list_slice(t, i, i + 4), ' ')))
+                          ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+                   CAST(len(a.s) + len(b.s)
+                        - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 1000000
+                     // CAST(greatest(len(a.s) + len(b.s)
+                            - len(list_intersect(a.s, b.s)), 1) AS BIGINT)
+                     AS jac_e6
+            FROM sh a JOIN sh b
+              ON b.doc_id - a.doc_id IN {tuple(_STRIDES)}
         """,
         "bpe_token_count": r"""
             SELECT doc_id,

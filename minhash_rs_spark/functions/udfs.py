@@ -292,20 +292,28 @@ def _batch_jaccard(a_flat, a_starts, b_flat, b_starts, n):
     # both sets empty -> Jaccard 1.0 (identical empties), matching the
     # scalar kernel jaccard_u64
     out[~nz] = 1.0
-    return out
+    return out, inter, union
 
 
 def with_jaccard(df: DataFrame, a_col: str, b_col: str,
-                 out_col: str = "jaccard") -> DataFrame:
+                 out_col: str = "jaccard", sizes: bool = False) -> DataFrame:
     """Append exact Jaccard of two array<long> shingle columns, dropping
     them (ref: jaccard_similarity src/main.rs:1673-1677). mapInArrow on
     flat buffers — replaces the per-row pandas_udf loop the round-1
-    review flagged; all other columns pass through untouched."""
+    review flagged; all other columns pass through untouched.
+
+    sizes=True additionally emits the exact integer intersection/union
+    cardinalities (n_inter, n_union) from the same kernel pass — these
+    are engine-portable (no float division), so an external SQL oracle
+    can check the verify kernel value-for-value."""
     import pyarrow as pa
 
     keep = [f for f in df.schema.fields if f.name not in (a_col, b_col)]
-    out_schema = T.StructType(keep + [T.StructField(out_col,
-                                                    T.DoubleType(), False)])
+    extra = [T.StructField(out_col, T.DoubleType(), False)]
+    if sizes:
+        extra += [T.StructField("n_inter", T.LongType(), False),
+                  T.StructField("n_union", T.LongType(), False)]
+    out_schema = T.StructType(keep + extra)
     keep_names = [f.name for f in keep]
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -317,10 +325,13 @@ def with_jaccard(df: DataFrame, a_col: str, b_col: str,
                     for i, name in enumerate(rb.schema.names)}
             a_flat, a_starts = _list_flat(cols[a_col], pa)
             b_flat, b_starts = _list_flat(cols[b_col], pa)
-            jac = _batch_jaccard(a_flat, a_starts, b_flat, b_starts, n)
+            jac, inter, union = _batch_jaccard(a_flat, a_starts,
+                                               b_flat, b_starts, n)
+            arrays = [cols[k] for k in keep_names] + [pa.array(jac)]
+            if sizes:
+                arrays += [pa.array(inter), pa.array(union)]
             yield pa.RecordBatch.from_arrays(
-                [cols[k] for k in keep_names] + [pa.array(jac)],
-                names=keep_names + [out_col])
+                arrays, names=keep_names + [f.name for f in extra])
 
     return df.mapInArrow(fn, out_schema)
 

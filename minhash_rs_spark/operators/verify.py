@@ -43,6 +43,35 @@ def verified_edges(edges: DataFrame, shingles: DataFrame,
             .select("src", "dst"))
 
 
+def stride_pair_jaccards(shingles: DataFrame, deltas=(1, 2, 3),
+                         id_col: str = "conv_id") -> DataFrame:
+    """Exact shingle-Jaccard for the deterministic pair set
+    {(id, id+d) : d in deltas} — the verify kernel (tokenize -> k-gram
+    shingle -> sorted-unique set -> intersection count) run over an
+    input-defined edge list instead of LSH candidates.
+
+    Purpose: every LSH-derived pair set is kernel-dependent (rows-only
+    at the correctness gate); this pair set is pure input, so an
+    external ANSI-SQL oracle can hash-check the verify kernel's exact
+    integer intersection/union counts value-for-value. O(N*|deltas|)
+    pairs, plain shuffle equi-joins — linear at any scale.
+
+    Returns (id_a, id_b, n_inter, n_union, jac_e6) with jac_e6 in exact
+    integer micro-units (engine-portable, no float division)."""
+    sh = shingles.select(F.col(id_col).cast("long").alias("id"), "shingles")
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    pairs = a.withColumn(
+        "id_b", F.explode(F.array(*[F.col("id_a") + F.lit(int(d))
+                                    for d in deltas])))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = pairs.join(b, "id_b").select("id_a", "id_b", "sh_a", "sh_b")
+    out = with_jaccard(joined, "sh_a", "sh_b", "jaccard", sizes=True)
+    return out.select(
+        "id_a", "id_b", "n_inter", "n_union",
+        F.expr("(n_inter * 1000000) div greatest(n_union, 1)")
+        .alias("jac_e6"))
+
+
 def intra_cluster_jaccards(assignments: DataFrame, shingles: DataFrame) -> DataFrame:
     """All within-component pairs with exact Jaccard — the reference's
     `true-jacc` analytics output (src/main.rs:1656-1677) as a DataFrame:

@@ -1,0 +1,55 @@
+"""Driver-mimic oracle check for the verify-kernel anchor query:
+shingle_jaccard_pairs runs the exact-Jaccard verify kernel (kernel
+tokenize -> rolling-poly k-gram shingles -> sorted-unique set ->
+vectorized intersection counts) over a DETERMINISTIC stride pair set,
+so DuckDB can recompute it from strings value-for-value. This is the
+ANSI-SQL anchor for the rows-only LSH-derived pair queries
+(minhash_clusters_verified, true_jaccard_pairs)."""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as E
+    return E
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    return (df[cols].astype("int64")
+            .sort_values(cols).reset_index(drop=True))
+
+
+def test_shingle_jaccard_matches_duckdb_oracle(spark, entry):
+    if not Path(SF_DIR, "documents.parquet").exists():
+        pytest.skip("testdata not present")
+    got = entry.queries()["shingle_jaccard_pairs"](spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    want = con.execute(entry.oracle_sql()["shingle_jaccard_pairs"]).df()
+    g, w = _norm(got), _norm(want)
+    assert list(g.columns) == list(w.columns)
+    assert len(g) == len(w) and len(g) > 0
+    assert (g.values == w.values).all()
+    # value coverage: the stride set must exercise POSITIVE
+    # intersections (all-zero n_inter would only test the union sizes)
+    assert (g["n_inter"] > 0).any()
+
+
+def test_stride_pairs_linear_in_input(spark, entry):
+    """Pair count is O(N * |strides|), never quadratic: with 500 docs
+    and 9 strides the join can emit at most 4500 pairs."""
+    if not Path(SF_DIR, "documents.parquet").exists():
+        pytest.skip("testdata not present")
+    n = entry.queries()["shingle_jaccard_pairs"](spark, SF_DIR).count()
+    assert 0 < n <= 500 * 9
