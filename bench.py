@@ -83,8 +83,17 @@ def main():
     import __spark_entry__ as entrymod
     from minhash_rs_spark.session import get_spark
 
+    # shuffle partitions size with the DATA, not the core count (the
+    # 100 TB rule): at the default sf0.1 contract 8-32 is right, but a
+    # 25M-turn scaling corpus at 8 partitions puts ~3M rows in each
+    # shuffle partition and the job goes superlinear. Callers timing
+    # big corpora (tools/scaling_bench.py) pin this explicitly — and
+    # identically at every core count, so N-vs-4N legs compare plans,
+    # not partition counts.
+    shuf = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                              max(int(cpus), 8)))
     spark = get_spark("bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(int(cpus), 8))
+                      shuffle_partitions=shuf)
 
     turns = entrymod._synth_turns(spark, sf_dir).cache()
     n_turns = turns.count()  # warm the cache + JVM before timing

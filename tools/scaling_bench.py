@@ -88,12 +88,20 @@ def run_leg(corpus: str, sf_dir: str, cpus: int, leg_id: str) -> dict:
     knob = Path("/tmp/scaling_timed_runs")
     if knob.exists():
         timed = knob.read_text().strip() or "3"
+    # shuffle partitions: sized to the corpus (~200k turns/partition),
+    # IDENTICAL at both core counts — legs must compare executor
+    # parallelism, never plan shape. At 8 partitions a 25M-turn corpus
+    # went superlinear (~3M rows/shuffle partition); this is the same
+    # data-not-cores sizing rule the engine prescribes at 100 TB.
+    n_turns_est = int(corpus.rsplit("_", 1)[-1]) * 10
+    shuf = max(32, min(512, n_turns_est // 200_000))
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cpus), PYTHONPATH=str(ROOT),
                SPARK_GRAFT_TURNS_PARQUET=corpus,
                SPARK_GRAFT_FLAGSHIP_ONLY="1",
                SPARK_GRAFT_WARMUP_RUNS="1",
                SPARK_GRAFT_TIMED_RUNS=timed,
+               SPARK_GRAFT_SHUFFLE_PARTITIONS=str(shuf),
                **MALLOC_ENV)
     cmd = [sys.executable, str(ROOT / "bench.py")]
     if shutil.which("taskset"):
@@ -188,7 +196,7 @@ Same job (flagship MinHash dedup pipeline: assemble -> shingle ->
 minhash -> LSH -> CC -> assignments), same pre-generated input
 ({legs[0]["turns"]} turns), taskset-pinned {n} vs {4 * n} cores,
 legs interleaved A({4 * n}c)/B({n}c)/A/B; per leg: 1 untimed warm-up
-run + median of 3 timed runs (the warm-up defeats this VM's
+run + median of {legs[0]['flagship_runs']} timed runs (the warm-up defeats this VM's
 pathological fresh-page-fault path — see BENCH/BASELINE.md; glibc
 arena trimming is disabled so workers keep their pages).
 
