@@ -207,6 +207,16 @@ def main():
     checks.append(("chain windows all salt-local (_csalt in every spec)",
                    bool(_ws) and all("_csalt" in ln for ln in _ws)))
 
+    # 15. stride-pair verify anchor: equi-joins only (no cartesian, no
+    # broadcast-nested-loop), no Window — the pair set is O(N log N)
+    # and must stay that way in the physical plan
+    p = plan_of(em.queries()["shingle_jaccard_pairs"](spark, sf_dir))
+    sections.append(("shingle_jaccard_pairs (verify-kernel oracle anchor)",
+                     p, ["Join"]))
+    checks.append(("stride pairs: no cartesian/nested-loop join",
+                   "Cartesian" not in p and "NestedLoop" not in p))
+    checks.append(("stride pairs: no Window", "Window" not in p))
+
     md = ["# PLANS — physical plan audit (local, AQE on)\n",
           "Generated by tools/plan_audit.py. Checks:\n"]
     fails = 0

@@ -196,7 +196,7 @@ Same job (flagship MinHash dedup pipeline: assemble -> shingle ->
 minhash -> LSH -> CC -> assignments), same pre-generated input
 ({legs[0]["turns"]} turns), taskset-pinned {n} vs {4 * n} cores,
 legs interleaved A({4 * n}c)/B({n}c)/A/B; per leg: 1 untimed warm-up
-run + median of {legs[0]['flagship_runs']} timed runs (the warm-up defeats this VM's
+run + median of {len(legs[0]['flagship_runs'])} timed runs (the warm-up defeats this VM's
 pathological fresh-page-fault path — see BENCH/BASELINE.md; glibc
 arena trimming is disabled so workers keep their pages).
 
