@@ -236,7 +236,9 @@ def q_shingle_jaccard_pairs(spark, sf_dir):
     """Exact k-gram shingle-Jaccard (the MinHash verify kernel:
     kernel-tokenize -> rolling-poly shingles -> sorted-unique set ->
     vectorized intersection count) over the DETERMINISTIC stride pair
-    set {(doc_id, doc_id+d) : d in 1..3}. Every LSH-derived pair set is
+    set {(doc_id, doc_id+d) : d in _STRIDES = (1,2,4,...,256)} — the
+    operator's default is adjacent strides 1..3, but this query runs
+    log-spaced strides. Every LSH-derived pair set is
     kernel-dependent (rows-only at the gate); this one is pure input,
     so the DuckDB oracle checks the verify kernel's exact integer
     intersection/union counts value-for-value — the oracle anchor for

@@ -57,7 +57,14 @@ def stride_pair_jaccards(shingles: DataFrame, deltas=(1, 2, 3),
     pairs, plain shuffle equi-joins — linear at any scale.
 
     Returns (id_a, id_b, n_inter, n_union, jac_e6) with jac_e6 in exact
-    integer micro-units (engine-portable, no float division)."""
+    integer micro-units (engine-portable, no float division).
+
+    Precondition: every shingle set is non-empty (guaranteed by
+    rolling_poly_from_flat's short-doc fallback, so n_union >= 1 here).
+    The n_union=0 CASE below still defines jac_e6=1000000 for an
+    empty-vs-empty pair so jac_e6 stays consistent with the kernel's
+    jaccard=1.0 convention if with_jaccard(sizes=True) is ever reused
+    on possibly-empty sets."""
     sh = shingles.select(F.col(id_col).cast("long").alias("id"), "shingles")
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     pairs = a.withColumn(
@@ -68,7 +75,8 @@ def stride_pair_jaccards(shingles: DataFrame, deltas=(1, 2, 3),
     out = with_jaccard(joined, "sh_a", "sh_b", "jaccard", sizes=True)
     return out.select(
         "id_a", "id_b", "n_inter", "n_union",
-        F.expr("(n_inter * 1000000) div greatest(n_union, 1)")
+        F.expr("CASE WHEN n_union = 0 THEN 1000000 "
+               "ELSE (n_inter * 1000000) div n_union END")
         .alias("jac_e6"))
 
 

@@ -4,7 +4,15 @@ tokenize -> rolling-poly k-gram shingles -> sorted-unique set ->
 vectorized intersection counts) over a DETERMINISTIC stride pair set,
 so DuckDB can recompute it from strings value-for-value. This is the
 ANSI-SQL anchor for the rows-only LSH-derived pair queries
-(minhash_clusters_verified, true_jaccard_pairs)."""
+(minhash_clusters_verified, true_jaccard_pairs).
+
+Collision caveat: the engine intersects 64-bit shingle hashes
+(blake2b token ids -> poly/mix64) while DuckDB intersects the shingle
+STRINGS, so value-for-value equality holds only absent a 64-bit hash
+collision inside some document pair's shingle sets. Collision odds are
+~N^2/2^64 per pair (N = shingles per doc, here <= a few hundred) —
+negligible, but if a future/larger corpus ever trips one, the symptom
+is an off-by-one n_inter on a single pair, not an engine bug."""
 
 import sys
 from pathlib import Path

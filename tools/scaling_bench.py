@@ -93,7 +93,12 @@ def run_leg(corpus: str, sf_dir: str, cpus: int, leg_id: str) -> dict:
     # parallelism, never plan shape. At 8 partitions a 25M-turn corpus
     # went superlinear (~3M rows/shuffle partition); this is the same
     # data-not-cores sizing rule the engine prescribes at 100 TB.
-    n_turns_est = int(corpus.rsplit("_", 1)[-1]) * 10
+    # gen_corpus paths end in '_<n_convs>' (~10 turns each); any other
+    # corpus dir falls back to a mid-range default instead of raising
+    try:
+        n_turns_est = int(corpus.rsplit("_", 1)[-1]) * 10
+    except ValueError:
+        n_turns_est = 10_000_000
     shuf = max(32, min(512, n_turns_est // 200_000))
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cpus), PYTHONPATH=str(ROOT),
