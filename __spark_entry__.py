@@ -259,6 +259,55 @@ def q_shingle_jaccard_pairs(spark, sf_dir):
         "n_inter", "n_union", "jac_e6")
 
 
+def q_cc_stride_clusters(spark, sf_dir):
+    """Oracle anchor for the CC operator itself (VERDICT r4 #1): run the
+    REAL distributed connected-components loop (alternating
+    large-star/small-star joins, operators/connected_components.py) over
+    a DETERMINISTIC input-derived edge list, so DuckDB can recompute the
+    exact (doc_id, cc_id, cc_size) labeling with a recursive CTE
+    (iterated min-label reachability) — the external value-for-value
+    check the iterative-join CC previously lacked (it was tested only
+    against the in-repo Python union-find).
+
+    Edge list (pure input, no kernel dependence in the topology):
+      E1: (i, 2i) and (i, 3i) for doc_ids i >= 1 where both endpoints
+          exist — a multi-scale arithmetic graph whose components
+          (numbers sharing a 5-rough part) have log-scale diameter, so
+          the star loop must actually iterate several rounds;
+      E2: the stride pairs (doc_id, doc_id+d), d in _STRIDES, with a
+          nonzero exact-shingle intersection — keeps the (already
+          hash-anchored) verify kernel in the loop end-to-end.
+    cc_id = numeric min member; cc_size = component member count.
+    Ref: union-find semantics /root/reference/src/uf_rush2.rs:20-216,
+    cc extraction src/main.rs:1044-1057."""
+    from minhash_rs_spark.functions.udfs import shingle_sets
+    from minhash_rs_spark.operators.connected_components import (
+        connected_components)
+    from minhash_rs_spark.operators.verify import stride_pair_jaccards
+
+    docs = _docs(spark, sf_dir)
+    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
+    mul = (ids.where(F.col("id") >= 1)
+           .select("id", F.explode(F.array(F.col("id") * 2,
+                                           F.col("id") * 3)).alias("dst"))
+           .join(ids.select(F.col("id").alias("dst")), "dst")
+           .select(F.col("id").alias("src"), "dst"))
+    sh = shingle_sets(
+        docs.select(F.col("doc_id").cast("string").alias("conv_id"),
+                    F.coalesce("text", F.lit("")).alias("doc_text")),
+        MinHashConfig())
+    overlap = (stride_pair_jaccards(sh, deltas=_STRIDES)
+               .where(F.col("n_inter") > 0)
+               .select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst")))
+    cc = connected_components(mul.union(overlap))
+    sizes = cc.groupBy("cc_id").agg(F.count(F.lit(1)).alias("cc_size"))
+    return (cc.join(sizes, "cc_id")
+            .select(F.col("conv_id").cast("long").alias("doc_id"),
+                    F.col("cc_id").cast("long").alias("cc_id"),
+                    F.col("cc_size").cast("long").alias("cc_size")))
+
+
 def q_bpe_token_count(spark, sf_dir):
     """BPE-ish sub-word token counting (word / single digit / punct)."""
     docs = _docs(spark, sf_dir)
@@ -530,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_size_histogram": q_cc_size_histogram,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
+        "cc_stride_clusters": q_cc_stride_clusters,
         "bpe_token_count": q_bpe_token_count,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -588,6 +638,38 @@ def _lang_sql() -> str:
     return f"""
         SELECT doc_id, {case} AS lang_guess, hits_en, hits_de, hits_fr, hits_es
         FROM (SELECT doc_id, {hits} FROM documents)
+    """
+
+
+def _stride_pairs_sql() -> str:
+    """The verify-kernel anchor's oracle body (string-shingle exact
+    Jaccard over the stride pair set), factored out so the CC anchor
+    oracle (`cc_stride_clusters`) reuses the identical pair computation
+    as a CTE."""
+    return f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(str_split({_NORM}, ' '), x -> x != '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 5
+                          THEN list_distinct(list_transform(
+                                 range(1, len(t) - 3),
+                                 i -> array_to_string(
+                                        list_slice(t, i, i + 4), ' ')))
+                          ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+                   CAST(len(a.s) + len(b.s)
+                        - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 1000000
+                     // CAST(greatest(len(a.s) + len(b.s)
+                            - len(list_intersect(a.s, b.s)), 1) AS BIGINT)
+                     AS jac_e6
+            FROM sh a JOIN sh b
+              ON b.doc_id - a.doc_id IN {tuple(_STRIDES)}
     """
 
 
@@ -719,30 +801,33 @@ def oracle_sql() -> dict[str, str]:
                                    - len(list_intersect(wa.words, wb.words)) AS BIGINT), 1)
                   >= 200000
         """,
-        "shingle_jaccard_pairs": f"""
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(str_split({_NORM}, ' '), x -> x != '') AS t
-              FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) >= 5
-                          THEN list_distinct(list_transform(
-                                 range(1, len(t) - 3),
-                                 i -> array_to_string(
-                                        list_slice(t, i, i + 4), ' ')))
-                          ELSE [array_to_string(t, ' ')] END AS s
-              FROM toks)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
-                   CAST(len(a.s) + len(b.s)
-                        - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union,
-                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 1000000
-                     // CAST(greatest(len(a.s) + len(b.s)
-                            - len(list_intersect(a.s, b.s)), 1) AS BIGINT)
-                     AS jac_e6
-            FROM sh a JOIN sh b
-              ON b.doc_id - a.doc_id IN {tuple(_STRIDES)}
+        "shingle_jaccard_pairs": _stride_pairs_sql(),
+        "cc_stride_clusters": f"""
+            WITH RECURSIVE pairs AS ({_stride_pairs_sql()}),
+            ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+            e1 AS (
+              SELECT a.id AS src, b.id AS dst FROM ids a
+                JOIN ids b ON b.id = 2 * a.id WHERE a.id >= 1
+              UNION ALL
+              SELECT a.id AS src, b.id AS dst FROM ids a
+                JOIN ids b ON b.id = 3 * a.id WHERE a.id >= 1),
+            e2 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   WHERE n_inter > 0),
+            sym AS (SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2
+                    UNION SELECT dst, src FROM e1
+                    UNION SELECT dst, src FROM e2),
+            nodes AS (SELECT DISTINCT src AS id FROM sym),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, sym.dst FROM reach
+                JOIN sym ON reach.r = sym.src),
+            lbl AS (SELECT id AS doc_id, min(r) AS cc_id
+                    FROM reach GROUP BY id)
+            SELECT doc_id, cc_id,
+                   CAST(count(*) OVER (PARTITION BY cc_id) AS BIGINT)
+                     AS cc_size
+            FROM lbl
         """,
         "bpe_token_count": r"""
             SELECT doc_id,

@@ -37,8 +37,30 @@ def edges_with_jaccard(edges: DataFrame, shingles: DataFrame) -> DataFrame:
 
 def verified_edges(edges: DataFrame, shingles: DataFrame,
                    threshold: float) -> DataFrame:
-    """Keep only candidate edges whose exact Jaccard >= threshold."""
-    return (edges_with_jaccard(edges, shingles)
+    """Keep only candidate edges whose exact Jaccard >= threshold.
+
+    Exact length-ratio prefilter (the verified path's cost lever):
+    Jaccard(A,B) >= t implies |A∩B|/|A∪B| >= t with |A∩B| <= min sizes
+    and |A∪B| >= max sizes, hence min(|A|,|B|)/max(|A|,|B|) >= t. So an
+    edge failing the integer size-ratio bound PROVABLY fails the exact
+    check, and only the two int shingle counts are joined to the edge
+    list before the bound — the heavy shingle-array joins and the
+    intersection kernel run on surviving edges only. Semantics-
+    preserving by implication (identical-output planted test); the
+    1e-9 slack keeps the float comparison strictly conservative (a
+    boundary edge is verified, never dropped)."""
+    sizes = shingles.select("conv_id", F.size("shingles").alias("n_sh"))
+    pre = (
+        edges
+        .join(sizes.select(F.col("conv_id").alias("src"),
+                           F.col("n_sh").alias("n_src")), "src")
+        .join(sizes.select(F.col("conv_id").alias("dst"),
+                           F.col("n_sh").alias("n_dst")), "dst")
+        .where(F.least("n_src", "n_dst").cast("double")
+               >= (F.lit(float(threshold)) - F.lit(1e-9))
+               * F.greatest("n_src", "n_dst").cast("double"))
+        .select("src", "dst"))
+    return (edges_with_jaccard(pre, shingles)
             .where(F.col("jaccard") >= F.lit(threshold))
             .select("src", "dst"))
 

@@ -910,3 +910,40 @@ def test_giant_block_chain_simhash(spark):
 
     assert len(components(chain=False)) > 1
     assert len(components(chain=True)) == 1
+
+
+def test_verified_edges_prefilter_is_semantics_preserving(spark):
+    """The length-ratio prefilter (Jaccard >= t implies min/max size
+    ratio >= t) may only SKIP provably-failing edges — verified_edges
+    must equal the unfiltered score-then-threshold path on a planted
+    set that covers: a boundary pair sitting exactly at the ratio bound
+    (sizes 1:2 at t=0.5 — must still be verified, not ratio-dropped),
+    a ratio-passing pair that fails the exact check, a ratio-failing
+    pair, and an identical pair."""
+    from minhash_rs_spark.operators.verify import (edges_with_jaccard,
+                                                   verified_edges)
+
+    shingles = spark.createDataFrame(
+        [("a", [1, 2]),                      # |a|=2
+         ("b", [1, 2, 3, 4]),                # |b|=4: ratio 0.5 exactly
+         ("c", [1, 2, 3, 9]),                # vs b: ratio 1.0, jac 3/5
+         ("d", [50, 60, 70, 80, 90, 99, 98, 97]),  # vs b: ratio fails
+         ("e", [1, 2, 3, 4])],               # identical to b
+        "conv_id string, shingles array<long>")
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "b"), ("e", "b"), ("d", "a")],
+        "src string, dst string")
+    for t in (0.3, 0.5, 0.7, 1.0):
+        want = {(r["src"], r["dst"]) for r in
+                edges_with_jaccard(edges, shingles)
+                .where(F.col("jaccard") >= t).collect()}
+        got = {(r["src"], r["dst"]) for r in
+               verified_edges(edges, shingles, t).collect()}
+        assert got == want, f"threshold {t}: {got} != {want}"
+    # t=0.3: (b,a) jac=2/4 passes; boundary ratio 2/4 < 0.3? no -> kept
+    # and verified. Sanity: at t=0.5 the 1:2-size pair (b,a) has ratio
+    # exactly 0.5 — the conservative epsilon must let it through to
+    # exact verification (jac = 2/4 = 0.5 passes).
+    kept = {(r["src"], r["dst"])
+            for r in verified_edges(edges, shingles, 0.5).collect()}
+    assert ("b", "a") in kept
