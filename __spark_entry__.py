@@ -108,7 +108,11 @@ def q_exact_dup_annotate(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.coalesce("text", F.lit("")).alias("doc_text"))
-    asg = exact_dedup_assignments(docs)
+    # parquet-metadata count: one cheap job, and it bounds the corpus so
+    # cc_idx can take the single-window plan at test/bench scale while
+    # unhinted (unbounded) callers keep the distributed plan
+    n_docs = _docs(spark, sf_dir).count()
+    asg = exact_dedup_assignments(docs, n_docs_hint=n_docs)
     return asg.select(
         F.col("conv_id").cast("long").alias("doc_id"),
         F.col("cc_id").cast("long").alias("cc_id"),

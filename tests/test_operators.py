@@ -947,3 +947,34 @@ def test_verified_edges_prefilter_is_semantics_preserving(spark):
     kept = {(r["src"], r["dst"])
             for r in verified_edges(edges, shingles, 0.5).collect()}
     assert ("b", "a") in kept
+
+
+def test_cc_idx_small_input_fast_path_identical(spark):
+    """cluster_assignments with n_docs_hint below the single-window
+    bound must produce EXACTLY the distributed plan's output (same
+    adversarial mix as the equivalence test above), and the chosen plan
+    must actually be the single window — no range exchange."""
+    import random
+
+    from minhash_rs_spark.operators.annotate import (
+        _CC_IDX_SINGLE_WINDOW_MAX, cluster_assignments)
+
+    rng = random.Random(11)
+    rows = [(f"c{i:05d}", f"v{rng.randrange(60):03d}") for i in range(1200)]
+    rows += [(f"c{i:05d}", "vBIG") for i in range(1200, 2000)]
+    cc = spark.createDataFrame(rows, ["conv_id", "cc_id"])
+    docs = cc.select("conv_id")
+
+    dist = cluster_assignments(docs, cc, with_idx=True)
+    fast = cluster_assignments(docs, cc, with_idx=True, n_docs_hint=2000)
+    key = lambda df: {(r["conv_id"], r["cc_id"], r["cc_size"], r["cc_idx"])
+                      for r in df.collect()}
+    assert key(fast) == key(dist)
+    # the fast path plans a plain window, no RangePartitioning exchange
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    # a hint above the bound falls back to the distributed plan
+    big = cluster_assignments(docs, cc, with_idx=True,
+                              n_docs_hint=_CC_IDX_SINGLE_WINDOW_MAX + 1)
+    assert "rangepartitioning" in \
+        big._jdf.queryExecution().executedPlan().toString().lower()
