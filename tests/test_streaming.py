@@ -140,3 +140,44 @@ def test_streaming_exact_dedup_128bit_fp(spark, tmp_path):
     got = spark.read.parquet(str(res)).collect()
     texts = sorted(r["text"] for r in got)
     assert texts == ["other text", "same text"]
+
+
+def test_stateful_band_dedup_state_survives_across_query_runs(
+        spark, tmp_path):
+    """VERDICT r4 #5: drive >= 3 microbatches through the SAME
+    checkpoint as three separate availableNow query runs (a restart
+    between each), so first-claimant state must be recovered from the
+    state store, not the live session: a bucket claimed in batch 1
+    stays claimed in batches 2 AND 3 (later arrivals matched=True
+    against the original claimer), and a bucket first seen in batch 2
+    is claimed there and matched in batch 3."""
+    from minhash_rs_spark.streaming.dedup_stream import (
+        streaming_stateful_band_dedup,
+    )
+
+    schema = "conv_id string, band_id int, sig_hi long, sig_lo long"
+    src = tmp_path / "sig_src3"
+    src.mkdir()
+    out, ck = tmp_path / "out3", tmp_path / "ck3"
+    batches = [
+        [("a", 0, 11, 22), ("z", 7, 70, 70)],
+        [("c", 0, 11, 22), ("m", 2, 33, 44)],  # c hits a's bucket
+        [("e", 0, 11, 22), ("n", 2, 33, 44)],  # e hits a's, n hits m's
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (streaming_stateful_band_dedup(stream, state_timeout_min=None)
+             .writeStream.format("parquet")
+             .option("path", str(out)).option("checkpointLocation", str(ck))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    got = {r["conv_id"]: (r["matched"], r["first_conv_id"])
+           for r in spark.read.parquet(str(out)).collect()}
+    assert got["a"] == (False, "a")
+    assert got["z"] == (False, "z")
+    assert got["c"] == (True, "a")    # claimed two runs earlier
+    assert got["m"] == (False, "m")
+    assert got["e"] == (True, "a")    # still the batch-1 claimer
+    assert got["n"] == (True, "m")    # batch-2 claimer recovered

@@ -29,9 +29,15 @@ whose allocation bandwidth swung 3x between legs):
 
 Writes BENCH/SCALING.md and prints a JSON summary.
 
-Usage: python tools/scaling_bench.py [sf_dir] [N] [n_convs] [pairs] [out_md]
+Usage: python tools/scaling_bench.py [sf_dir] [N] [n_convs] [pairs] [out_md] [poll_gbs]
   out_md (default SCALING.md) names the BENCH/ output file, so a second
   corpus size can be recorded alongside the first (VERDICT r3 #3).
+  poll_gbs (default 0 = off): before launching each leg, poll the
+  fresh-alloc bandwidth probe until two consecutive readings are at or
+  above this threshold (VERDICT r4 #4: healthy windows DO occur on this
+  host — wait for one instead of burning a leg in a degraded band).
+  Polling caps at 30 min per leg, then launches anyway with the stamp
+  on record — the per-pair 2x gate still decides validity.
 """
 
 from __future__ import annotations
@@ -78,6 +84,33 @@ def gen_corpus(n_convs: int) -> str:
         "spark.stop()\n" % (str(ROOT), n_convs, path, path))
     subprocess.run([sys.executable, "-c", code], check=True)
     return path
+
+
+def wait_healthy(min_gbs: float, timeout_s: float = 1800.0,
+                 settle: int = 2, interval_s: float = 45.0) -> bool:
+    """Poll the fresh-alloc bandwidth probe (bench.host_alloc_gbs, the
+    same stamp the validity gate reads) until `settle` consecutive
+    readings >= min_gbs, or timeout. The pathology this dodges: legs
+    launched in a degraded band (0.1-0.5 GB/s) inflate CPU 5-6x and are
+    auto-rejected by the 2x gate — polling spends idle seconds instead
+    of 10-minute rejected legs. Returns True iff the band was entered."""
+    sys.path.insert(0, str(ROOT))
+    from bench import host_alloc_gbs
+    t0 = time.time()
+    good = 0
+    while True:
+        g = host_alloc_gbs()
+        good = good + 1 if g >= min_gbs else 0
+        print(f"# poll alloc {g} GB/s ({good}/{settle} good)",
+              file=sys.stderr, flush=True)
+        if good >= settle:
+            return True
+        if time.time() - t0 >= timeout_s:
+            print(f"# poll timeout after {timeout_s:.0f}s — launching "
+                  "in current band (gate will judge)", file=sys.stderr,
+                  flush=True)
+            return False
+        time.sleep(interval_s)
 
 
 def run_leg(corpus: str, sf_dir: str, cpus: int, leg_id: str) -> dict:
@@ -139,11 +172,16 @@ def main():
     n_convs = int(sys.argv[3]) if len(sys.argv) > 3 else 1_100_000
     pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     out_md = sys.argv[5] if len(sys.argv) > 5 else "SCALING.md"
+    poll_gbs = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
     corpus = gen_corpus(n_convs)
 
     legs: list[dict] = []
     for i in range(pairs):
+        if poll_gbs > 0:
+            wait_healthy(poll_gbs)
         legs.append(run_leg(corpus, sf_dir, 4 * n, f"A{i}"))
+        if poll_gbs > 0:
+            wait_healthy(poll_gbs)
         legs.append(run_leg(corpus, sf_dir, n, f"B{i}"))
 
     a_legs = [l for l in legs if l["leg"].startswith("A")]
