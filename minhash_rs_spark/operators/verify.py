@@ -49,6 +49,13 @@ def verified_edges(edges: DataFrame, shingles: DataFrame,
     preserving by implication (identical-output planted test); the
     1e-9 slack keeps the float comparison strictly conservative (a
     boundary edge is verified, never dropped)."""
+    import os
+    if os.environ.get("SPARK_GRAFT_NO_RATIO_PREFILTER") == "1":
+        # measurement-only A/B hook (tools/paircap_bench.py): output is
+        # identical either way — the bound only skips provable failures
+        return (edges_with_jaccard(edges, shingles)
+                .where(F.col("jaccard") >= F.lit(threshold))
+                .select("src", "dst"))
     sizes = shingles.select("conv_id", F.size("shingles").alias("n_sh"))
     pre = (
         edges

@@ -217,6 +217,39 @@ def main():
                    "Cartesian" not in p and "NestedLoop" not in p))
     checks.append(("stride pairs: no Window", "Window" not in p))
 
+    # 16. verified edges: the exact length-ratio prefilter must appear
+    # as a Filter over the two INT counts (n_src/n_dst) so the heavy
+    # shingle-array joins + Arrow kernel run on surviving edges only
+    from minhash_rs_spark.operators.verify import verified_edges
+
+    sh_df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [1, 2, 3, 4]), ("c", [9, 10])],
+        "conv_id string, shingles array<long>")
+    e_df = spark.createDataFrame([("b", "a"), ("c", "a")],
+                                 "src string, dst string")
+    p = plan_of(verified_edges(e_df, sh_df, 0.8))
+    sections.append(("verified_edges (length-ratio prefilter)", p,
+                     ["Filter"]))
+    checks.append(("verify prefilter: size-ratio filter on int counts "
+                   "in plan", "n_src" in p and "n_dst" in p))
+    checks.append(("verify kernel runs once (single Arrow map stage)",
+                   p.count("PythonMapInArrow") == 1))
+
+    # 17. cc_idx small-input fast path: hinted -> plain window, no
+    # range exchange; unhinted -> distributed (range) plan
+    p_fast = plan_of(cluster_assignments(asm.select("conv_id"), cc_df,
+                                         with_idx=True, n_docs_hint=100))
+    checks.append(("cc_idx hinted small input: no range partitioning",
+                   "rangepartitioning" not in p_fast))
+    checks.append(("cc_idx hinted small input: single cc_id window",
+                   "windowspecdefinition" in p_fast))
+
+    # 18. CC oracle anchor query: equi-joins only end-to-end
+    p = plan_of(em.queries()["cc_stride_clusters"](spark, sf_dir))
+    sections.append(("cc_stride_clusters (CC oracle anchor)", p, ["Join"]))
+    checks.append(("cc anchor: no cartesian/nested-loop join",
+                   "Cartesian" not in p and "NestedLoop" not in p))
+
     md = ["# PLANS — physical plan audit (local, AQE on)\n",
           "Generated by tools/plan_audit.py. Checks:\n"]
     fails = 0
