@@ -29,7 +29,7 @@ whose allocation bandwidth swung 3x between legs):
 
 Writes BENCH/SCALING.md and prints a JSON summary.
 
-Usage: python tools/scaling_bench.py [sf_dir] [N] [n_convs] [pairs] [out_md] [poll_gbs]
+Usage: python tools/scaling_bench.py [sf_dir] [N] [n_convs] [pairs] [out_md] [poll_gbs] [cpm_ref]
   out_md (default SCALING.md) names the BENCH/ output file, so a second
   corpus size can be recorded alongside the first (VERDICT r3 #3).
   poll_gbs (default 0 = off): before launching each leg, poll the
@@ -38,6 +38,15 @@ Usage: python tools/scaling_bench.py [sf_dir] [N] [n_convs] [pairs] [out_md] [po
   host — wait for one instead of burning a leg in a degraded band).
   Polling caps at 30 min per leg, then launches anyway with the stamp
   on record — the per-pair 2x gate still decides validity.
+  cpm_ref (default 0 = off): known-healthy CPU cost of this job in
+  core-seconds per M turns (e.g. 71.6 for the flagship at 8c,
+  BENCH/PAIRCAP.md). Endpoint alloc stamps are necessary but NOT
+  sufficient — round-4/5 legs started AND ended healthy yet burned
+  5-6x the healthy CPU from mid-leg contention. With cpm_ref set, a
+  leg whose measured core-s/M exceeds 2x the reference is marked
+  CONTENDED and its pair is rejected by the CPU ledger; a contended
+  4N leg also FAST-FAILS its attempt (the ~4x-longer N leg is skipped,
+  so a bad host window costs one leg, not two).
 """
 
 from __future__ import annotations
@@ -173,29 +182,75 @@ def main():
     pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     out_md = sys.argv[5] if len(sys.argv) > 5 else "SCALING.md"
     poll_gbs = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
+    cpm_ref = float(sys.argv[7]) if len(sys.argv) > 7 else 0.0
     corpus = gen_corpus(n_convs)
 
+    def annotate(leg: dict) -> dict:
+        cpm = leg["flagship_cpu_sec"] / (leg["turns"] / 1e6)
+        leg["cpu_per_m"] = round(cpm, 1)
+        leg["contended"] = bool(cpm_ref > 0 and cpm > 2 * cpm_ref)
+        if leg["contended"]:
+            print(f"# leg {leg['leg']} CONTENDED: {cpm:.1f} core-s/M-turn"
+                  f" > 2x healthy ref {cpm_ref} — CPU-ledger reject",
+                  file=sys.stderr, flush=True)
+        return leg
+
     legs: list[dict] = []
+    complete_pairs: list[tuple[dict, dict]] = []
     for i in range(pairs):
         if poll_gbs > 0:
             wait_healthy(poll_gbs)
-        legs.append(run_leg(corpus, sf_dir, 4 * n, f"A{i}"))
+        a = annotate(run_leg(corpus, sf_dir, 4 * n, f"A{i}"))
+        legs.append(a)
+        if a["contended"]:
+            # fast-fail: don't burn the ~4x-longer N-core leg on an
+            # attempt the CPU ledger has already rejected
+            continue
         if poll_gbs > 0:
             wait_healthy(poll_gbs)
-        legs.append(run_leg(corpus, sf_dir, n, f"B{i}"))
+        b = annotate(run_leg(corpus, sf_dir, n, f"B{i}"))
+        legs.append(b)
+        complete_pairs.append((a, b))
 
-    a_legs = [l for l in legs if l["leg"].startswith("A")]
-    b_legs = [l for l in legs if l["leg"].startswith("B")]
+    if not complete_pairs:
+        # every attempt fast-failed on a contended 4N leg: record the
+        # raw legs honestly and exit without fabricating a pair
+        bench_dir = ROOT / "BENCH"
+        bench_dir.mkdir(exist_ok=True)
+        leg_rows = "\n".join(
+            f"| {l['leg']} | {l['flagship_sec']} | {l['flagship_cpu_sec']}"
+            f" | {l['cpu_per_m']} | {l['flagship_util']}"
+            f" | {l['host_alloc_gbs']} -> {l['host_alloc_gbs_after']}"
+            f" | {'CONTENDED' if l['contended'] else 'ok'} |"
+            for l in legs)
+        (bench_dir / out_md).write_text(
+            f"# BENCH/SCALING — no gated pair this run\n\n"
+            f"Every {4 * n}-core leg exceeded 2x the healthy CPU "
+            f"reference ({cpm_ref} core-s/M-turn) — mid-leg host "
+            f"contention; paired {n}-core legs were fast-fail skipped.\n\n"
+            f"| leg | wall (s) | cpu (core-s) | core-s/M | util "
+            f"| alloc GB/s | ledger |\n|---|---|---|---|---|---|---|\n"
+            f"{leg_rows}\n")
+        print(json.dumps({"no_gated_pair": True, "corpus": corpus,
+                          "cpm_ref": cpm_ref, "legs": legs}))
+        return
+
     pair_rows = []
-    for a, b in zip(a_legs, b_legs):
+    for a, b in complete_pairs:
         ga, gb = a["host_alloc_gbs"], b["host_alloc_gbs"]
-        valid = max(ga, gb) <= 2 * min(ga, gb) + 1e-9
+        stamps_ok = max(ga, gb) <= 2 * min(ga, gb) + 1e-9
+        valid = stamps_ok and not a["contended"] and not b["contended"]
         eff = round((b["flagship_sec"] / a["flagship_sec"]) / 4, 3)
         pair_rows.append({"pair": a["leg"][1:], "t_n": b["flagship_sec"],
                           "t_4n": a["flagship_sec"], "eff": eff,
-                          "alloc_n": gb, "alloc_4n": ga, "valid": valid})
+                          "alloc_n": gb, "alloc_4n": ga,
+                          "cpm_n": b["cpu_per_m"], "cpm_4n": a["cpu_per_m"],
+                          "contended": a["contended"] or b["contended"],
+                          "valid": valid})
     valid_effs = [p["eff"] for p in pair_rows if p["valid"]]
 
+    a_legs = [a for a, _ in complete_pairs]
+    b_legs = [b for _, b in complete_pairs]
     t_n = statistics.median(l["flagship_sec"] for l in b_legs)
     t_4n = statistics.median(l["flagship_sec"] for l in a_legs)
     util_n = statistics.median(l["flagship_util"] for l in b_legs)
@@ -231,7 +286,8 @@ def main():
     rows = "\n".join(
         f"| {p['pair']} | {p['t_n']} | {p['t_4n']} | {p['eff']} "
         f"| {p['alloc_n']} / {p['alloc_4n']} "
-        f"| {'VALID' if p['valid'] else 'rejected'} |"
+        f"| {p['cpm_n']} / {p['cpm_4n']} "
+        f"| {'VALID' if p['valid'] else 'rejected (cpu ledger)' if p['contended'] else 'rejected'} |"
         for p in pair_rows)
     md = f"""# BENCH/SCALING — N vs 4N evidence (pinned cores, interleaved)
 
@@ -243,8 +299,8 @@ run + median of {len(legs[0]['flagship_runs'])} timed runs (the warm-up defeats 
 pathological fresh-page-fault path — see BENCH/BASELINE.md; glibc
 arena trimming is disabled so workers keep their pages).
 
-| pair | T_{n}c (s) | T_{4 * n}c (s) | eff (T_N/T_4N)/4 | alloc GB/s N / 4N | gate |
-|---|---|---|---|---|---|
+| pair | T_{n}c (s) | T_{4 * n}c (s) | eff (T_N/T_4N)/4 | alloc GB/s N / 4N | core-s/M N / 4N | gate |
+|---|---|---|---|---|---|---|
 {rows}
 
 Level medians: T_{n}c = {t_n}s, T_{4 * n}c = {t_4n}s ->
