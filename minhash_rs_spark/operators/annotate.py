@@ -61,6 +61,17 @@ def cluster_assignments(docs: DataFrame, cc: DataFrame,
 _CC_IDX_SINGLE_WINDOW_MAX = 2_000_000
 
 
+def _cc_idx_ranked(out: DataFrame, parts: int) -> DataFrame:
+    """Range-split + per-split local rank — the pre-cut stage of
+    _cc_idx, factored out so plan audits (tools/plan_audit.py check 13,
+    tests) can inspect the range exchange and the (_pid, cc_id)-bounded
+    window that _cc_idx's lineage cut hides from downstream plans."""
+    base = (out.repartitionByRange(parts, "cc_id", "conv_id")
+            .withColumn("_pid", F.spark_partition_id()))
+    wl = Window.partitionBy("_pid", "cc_id").orderBy("conv_id")
+    return base.withColumn("_lrank", F.row_number().over(wl) - F.lit(1))
+
+
 def _cc_idx(out: DataFrame, idx_partitions: int | None = None,
             n_docs_hint: int | None = None) -> DataFrame:
     """cc_idx = rank of conv_id within its component — distributed
@@ -90,9 +101,23 @@ def _cc_idx(out: DataFrame, idx_partitions: int | None = None,
 
     Identical to row_number() over (partition by cc_id order by
     conv_id) - 1 by construction (asserted in tests incl. a planted
-    1M-member single component). Determinism: the range sampler is
-    seeded per-partition (deterministic for a deterministic input), and
-    both consumers of the ranked stage share one exchange (ReusedExchange).
+    1M-member single component).
+
+    CONSISTENCY HAZARD (round-5 data-loss bug, fixed): `ranked` feeds two
+    consumers — the final join's left side and the counts/offsets
+    subtree. Exchange REUSE between them is an optimization, not a
+    guarantee: when the planner instantiates two separate range
+    exchanges, each samples boundaries with a seed derived from its own
+    RDD id, so the two sides can disagree on `_pid` for the same row —
+    and the inner join on (cc_id, _pid) then silently DROPS rows
+    (observed at 10M turns: 5-9% of documents lost from assignments,
+    nondeterministically; reproduced at 40k rows with
+    spark.sql.exchange.reuse=false). The localCheckpoint on `ranked`
+    below pins ONE physical layout — one sampling, one window pass —
+    that every consumer reads, making _pid consistent by construction
+    rather than by optimizer goodwill. cc_idx values are layout-
+    independent either way (range partitioning is order-compatible);
+    only the row-preservation guarantee needed the cut.
     """
     if (n_docs_hint is not None
             and n_docs_hint <= _CC_IDX_SINGLE_WINDOW_MAX):
@@ -107,10 +132,11 @@ def _cc_idx(out: DataFrame, idx_partitions: int | None = None,
     # for the real pass; the cut materializes the narrow 3-column rows
     # exactly once and both passes read them
     out = out.localCheckpoint(eager=False)
-    base = (out.repartitionByRange(parts, "cc_id", "conv_id")
-            .withColumn("_pid", F.spark_partition_id()))
-    wl = Window.partitionBy("_pid", "cc_id").orderBy("conv_id")
-    ranked = base.withColumn("_lrank", F.row_number().over(wl) - F.lit(1))
+    # lineage cut AFTER the exchange + _pid stamp: both consumers below
+    # MUST observe the same physical partition ids (docstring hazard).
+    # The cut hides the ranked stage from downstream plan strings, so
+    # plan audits inspect _cc_idx_ranked directly.
+    ranked = _cc_idx_ranked(out, parts).localCheckpoint(eager=False)
     counts = (ranked.groupBy("cc_id", "_pid")
               .agg(F.count(F.lit(1)).alias("_n")))
     wo = (Window.partitionBy("cc_id").orderBy("_pid")

@@ -695,6 +695,48 @@ def test_cc_idx_distributed_equals_window_formula(spark):
         assert got == expect, parts
 
 
+def test_cc_idx_row_preservation_without_exchange_reuse(spark):
+    """Round-5 data-loss regression: _cc_idx's ranked stage feeds two
+    consumers, and with exchange reuse unavailable the two sides used
+    to plan SEPARATE range exchanges whose samplers (seeded by RDD id)
+    could disagree on partition boundaries — inconsistent _pid, and the
+    (cc_id, _pid) inner join silently dropped rows (5.8% of 40k rows
+    reproduced with spark.sql.exchange.reuse=false; 5-9% of 1.43M docs
+    observed at 10M turns on the paircap corpus). The lineage cut on
+    `ranked` pins one physical layout for every consumer, so the exact
+    window-formula output must come back row-complete even with reuse
+    disabled."""
+    import random
+
+    from pyspark.sql import Window
+    from minhash_rs_spark.operators.annotate import cluster_assignments
+
+    rng = random.Random(11)
+    rows = list({f"c{rng.randrange(10**9):09d}": None
+                 for _ in range(40_000)})
+    cc = spark.createDataFrame(
+        [(c, f"v{rng.randrange(500):04d}") for c in rows],
+        ["conv_id", "cc_id"])
+    docs = cc.select("conv_id")
+    expect = {
+        (r["conv_id"], r["cc_id"], r["cc_idx"]) for r in cc.withColumn(
+            "cc_idx",
+            F.row_number().over(
+                Window.partitionBy("cc_id").orderBy("conv_id")) - F.lit(1)
+        ).collect()}
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        got = {(r["conv_id"], r["cc_id"], r["cc_idx"])
+               for r in cluster_assignments(docs, cc, with_idx=True,
+                                            idx_partitions=16)
+               .select("conv_id", "cc_id", "cc_idx").collect()}
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+    assert len(got) == len(expect)
+    assert got == expect
+
+
 def test_mega_component_cc_idx_no_whole_component_window_task(spark):
     """VERDICT r3 #4: annotate-mode cc_idx on a planted 1M-member single
     component — every Window in the plan partitions by the range-split
@@ -713,10 +755,23 @@ def test_mega_component_cc_idx_no_whole_component_window_task(spark):
     win_specs = [ln for ln in plan.splitlines()
                  if "windowspecdefinition" in ln]
     assert win_specs
-    # the member-rank window carries _pid; the offsets window orders by
-    # _pid over per-(cc_id, pid) aggregates (<= parts rows/component)
+    # the offsets window orders by _pid over per-(cc_id, pid)
+    # aggregates (<= parts rows/component)
     assert all("_pid" in ln for ln in win_specs), win_specs
-    assert "rangepartitioning" in plan
+    # the ranked stage (member-rank window + range exchange) sits
+    # behind _cc_idx's lineage cut (round-5 _pid-consistency fix) —
+    # assert the cut is present downstream and the range exchange +
+    # _pid-carrying window exist in the pre-cut stage's own plan
+    assert "ExistingRDD" in plan
+    from minhash_rs_spark.operators.annotate import _cc_idx_ranked
+    pre = _cc_idx_ranked(
+        cc.select("conv_id", "cc_id",
+                  F.lit(n).alias("cc_size")), parts)
+    pre_plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in pre_plan
+    pre_specs = [ln for ln in pre_plan.splitlines()
+                 if "windowspecdefinition" in ln]
+    assert pre_specs and all("_pid" in ln for ln in pre_specs)
 
     # range partitioning bounds every (pid, cc_id) window group by the
     # split size (~n/parts); correctness of the stitched ordinal:
@@ -973,11 +1028,14 @@ def test_cc_idx_small_input_fast_path_identical(spark):
     # the fast path plans a plain window, no RangePartitioning exchange
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
-    # a hint above the bound falls back to the distributed plan
+    # a hint above the bound falls back to the distributed plan — whose
+    # range exchange sits behind the _pid-consistency lineage cut
+    # (round-5 fix), so its downstream signature is the ExistingRDD
+    # scan + _pid-carrying offsets window, not a visible range exchange
     big = cluster_assignments(docs, cc, with_idx=True,
                               n_docs_hint=_CC_IDX_SINGLE_WINDOW_MAX + 1)
-    assert "rangepartitioning" in \
-        big._jdf.queryExecution().executedPlan().toString().lower()
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in big_plan and "_pid" in big_plan
 
 
 def test_subsample_survivors_invariant_to_partitioning_and_order(spark):

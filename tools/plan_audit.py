@@ -10,6 +10,7 @@ Usage: python tools/plan_audit.py [sf_dir]
 from __future__ import annotations
 
 import io
+import re
 import sys
 from contextlib import redirect_stdout
 from pathlib import Path
@@ -184,16 +185,33 @@ def main():
 
     # 13. annotate-mode cc_idx: distributed two-phase ordinal — range
     # split + per-split windows only (never partitionBy(cc_id) over raw
-    # members, which would serialize a mega-component into one task)
+    # members, which would serialize a mega-component into one task).
+    # The ranked stage sits behind _cc_idx's lineage cut (the round-5
+    # _pid-consistency fix), so its plan is audited via _cc_idx_ranked;
+    # the downstream plan is audited for the cut itself + the bounded
+    # offsets window.
+    from minhash_rs_spark.operators.annotate import _cc_idx_ranked
+
+    p_rk = plan_of(_cc_idx_ranked(
+        asm.select("conv_id").withColumn("cc_id", F.col("conv_id")), 8))
+    sections.append(("_cc_idx_ranked (range split + local rank)", p_rk,
+                     ["Window"]))
+    _ws = [ln for ln in p_rk.splitlines() if "windowspecdefinition" in ln]
+    checks.append(("cc_idx ranked window carries the range-split id "
+                   "(_pid)", bool(_ws) and all("_pid" in ln for ln in _ws)))
+    checks.append(("cc_idx ranked stage uses range partitioning",
+                   "rangepartitioning" in p_rk))
     p = plan_of(cluster_assignments(asm.select("conv_id"), cc_df,
                                     with_idx=True))
     sections.append(("cluster_assignments with_idx=True (distributed "
-                     "cc_idx)", p, ["Window"]))
+                     "cc_idx, post-cut)", p, ["Window"]))
+    checks.append(("cc_idx ranked stage pinned behind one lineage cut "
+                   "(ExistingRDD scan: _pid consistent for both "
+                   "consumers)", "ExistingRDD" in p))
     _ws = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
-    checks.append(("cc_idx windows all carry the range-split id (_pid)",
+    checks.append(("cc_idx downstream windows all _pid-bounded (offsets "
+                   "over per-split counts)",
                    bool(_ws) and all("_pid" in ln for ln in _ws)))
-    checks.append(("cc_idx uses range partitioning",
-                   "rangepartitioning" in p))
 
     # 14. giant-bucket chain edges: every chain window is salt-local
     from minhash_rs_spark.operators.lsh import chain_edges
@@ -232,8 +250,10 @@ def main():
                      ["Filter"]))
     checks.append(("verify prefilter: size-ratio filter on int counts "
                    "in plan", "n_src" in p and "n_dst" in p))
+    # formatted plans name the stage "MapInArrow (n)" in the tree and
+    # "(n) MapInArrow" in the details — count tree nodes only
     checks.append(("verify kernel runs once (single Arrow map stage)",
-                   p.count("PythonMapInArrow") == 1))
+                   len(re.findall(r"MapInArrow \(\d+\)", p)) == 1))
 
     # 17. cc_idx small-input fast path: hinted -> plain window, no
     # range exchange; unhinted -> distributed (range) plan
