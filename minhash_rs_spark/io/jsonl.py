@@ -37,6 +37,14 @@ def read_jsonl_corpus(spark: SparkSession, path: str,
     (conv_id, turn_idx, text) — one conversation per concat_key run (or
     per line when concat_key is None, matching ref cur_line semantics).
     """
+    # _line encodes (partition_id << 33) + row offset. Ordering by it
+    # WITHIN a file is offset-true even for splittable files: Spark
+    # generates a file's splits in offset order (all max-size except
+    # the tail) and packs them with a stable size sort, so a file's
+    # splits keep ascending partition ids relative to each other; .gz
+    # inputs are single-split by construction. The window below
+    # partitions by _file, so cross-file partition interleaving is
+    # irrelevant.
     raw = (spark.read.text(path)
            .withColumn("_file", F.input_file_name())
            .withColumn("_line", F.monotonically_increasing_id()))
