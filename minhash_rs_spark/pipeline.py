@@ -59,15 +59,26 @@ class PipelineResult:
 
     def collect_stats(self) -> dict:
         """Run counters (G9, ref src/main.rs:1365-1385): docs seen /
-        removed / surviving + removal rate."""
+        removed / surviving + removal rate.
+
+        `row_complete` is the output-completeness invariant the round-5
+        cc_idx bug taught us to check: the assignments table must carry
+        EXACTLY one row per input conversation — a duplicate means a
+        doc in two clusters, a shortfall means docs silently dropped
+        (the failure mode of physical-consistency bugs that small-scale
+        tests never see). One extra single-column distinct count over
+        the already-grouped docs; cheap relative to the pipeline."""
         n_docs = self.assignments.count()
         n_clusters = self.assignments.select("cc_id").distinct().count()
+        n_input = self.docs.select("conv_id").distinct().count()
         removed = n_docs - n_clusters
         self.stats.update({
             "documents": n_docs,
             "clusters": n_clusters,
             "removed": removed,
             "removal_rate": removed / n_docs if n_docs else 0.0,
+            "input_conversations": n_input,
+            "row_complete": n_docs == n_input,
         })
         return self.stats
 

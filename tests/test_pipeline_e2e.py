@@ -117,6 +117,19 @@ def test_cluster_invariants(assignments):
             assert m[2] == rank
 
 
+def test_stats_report_row_completeness(tiny_corpus, result):
+    """collect_stats' row_complete invariant (round-5 lesson: the
+    cc_idx consistency bug dropped 5-9% of docs at scale while every
+    small-scale test stayed green) — one assignments row per input
+    conversation, and the stats surface says so."""
+    turns, _ = tiny_corpus
+    stats = result.collect_stats()
+    n_convs = turns.select("conv_id").distinct().count()
+    assert stats["input_conversations"] == n_convs
+    assert stats["documents"] == n_convs
+    assert stats["row_complete"] is True
+
+
 def test_annotate_preserves_rows_and_turn_text(tiny_corpus, result):
     """BASELINE per-row invariant: per-turn text equality under stable
     turn ordering; annotate mode preserves every row."""
