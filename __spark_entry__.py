@@ -233,6 +233,27 @@ def q_word_jaccard_pairs(spark, sf_dir):
                       "n_common", "jaccard_e6")
 
 
+def q_decontam_ngram(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): every 20th
+    document plays the eval/benchmark set; the remaining corpus docs are
+    flagged when they share any word 4-gram with it. k=4 (not the
+    real-world default 8) because the synthetic word-soup docs are short
+    and their near-dup mutations rarely preserve 8 consecutive words —
+    k=4 yields a ~10% contaminated mix at sf0.01, non-degenerate in both
+    directions. Spark joins on 64-bit shingle hashes (scale path); the
+    DuckDB oracle joins the raw shingle strings — identical output
+    absent a 64-bit collision (~n^2/2^64)."""
+    from minhash_rs_spark.operators.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return (decontaminate(corpus, bench, k=4)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_shingles", "n_hits", "contam_frac_e6",
+                    "contaminated"))
+
+
 _STRIDES = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 
 
@@ -582,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "cc_size_histogram": q_cc_size_histogram,
         "word_jaccard_pairs": q_word_jaccard_pairs,
+        "decontam_ngram": q_decontam_ngram,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "cc_stride_clusters": q_cc_stride_clusters,
         "bpe_token_count": q_bpe_token_count,
@@ -804,6 +826,38 @@ def oracle_sql() -> dict[str, str]:
                   // greatest(CAST(len(wa.words) + len(wb.words)
                                    - len(list_intersect(wa.words, wb.words)) AS BIGINT), 1)
                   >= 200000
+        """,
+        "decontam_ngram": f"""
+            WITH corpus AS (
+              SELECT doc_id, {_TOKENS} AS w
+              FROM documents WHERE doc_id % 20 <> 0),
+            bench AS (
+              SELECT {_TOKENS} AS w
+              FROM documents WHERE doc_id % 20 = 0),
+            corpus_sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS sh
+              FROM corpus, UNNEST(range(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 4),
+            totals AS (
+              SELECT doc_id, count(*) AS n_shingles
+              FROM corpus_sh GROUP BY doc_id),
+            bench_sh AS (
+              SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS sh
+              FROM bench, UNNEST(range(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 4),
+            hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM corpus_sh JOIN bench_sh USING (sh) GROUP BY doc_id)
+            SELECT c.doc_id,
+                   CAST(coalesce(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN coalesce(t.n_shingles, 0) = 0 THEN 0
+                        ELSE coalesce(h.n_hits, 0) * 1000000 // t.n_shingles
+                        END AS BIGINT) AS contam_frac_e6,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM corpus c
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
         """,
         "shingle_jaccard_pairs": _stride_pairs_sql(),
         "cc_stride_clusters": f"""

@@ -117,3 +117,34 @@ def test_jsonl_compressed_roundtrip(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="CODEC_NOT_AVAILABLE|zstd"):
         df.write.option("compression", "zstd").text(str(tmp_path / "z"))
+
+
+def test_decontaminate_planted(spark):
+    """Planted contamination: exact hit counts/fractions, short-doc and
+    clean-doc edge cases, and hash-join vs broadcast parity."""
+    from minhash_rs_spark.operators.decontam import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame([
+        # 4 words before + the 9-word bench doc verbatim: every bench
+        # 4-gram hits; distinct 4-grams = 10 total, 6 of them from bench
+        (1, "intro words go here the quick brown fox jumps over the lazy dog"),
+        (2, "completely different content with no overlap whatsoever"),
+        (3, "too short"),                      # < k words -> 0 shingles
+        (4, "THE Quick BROWN fox unrelated tail words"),  # case-folded hit
+    ], ["doc_id", "text"])
+
+    for bcast in (True, False):
+        got = {r["doc_id"]: r for r in
+               decontaminate(corpus, bench, k=4,
+                             broadcast_bench=bcast).collect()}
+        assert set(got) == {1, 2, 3, 4}
+        assert got[1]["contaminated"] and got[1]["n_hits"] == 6
+        assert got[1]["n_shingles"] == 10
+        assert got[1]["contam_frac_e6"] == 6 * 1_000_000 // 10
+        assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
+        assert got[3]["n_shingles"] == 0 and got[3]["contam_frac_e6"] == 0
+        assert not got[3]["contaminated"]
+        assert got[4]["contaminated"] and got[4]["n_hits"] == 1

@@ -270,6 +270,18 @@ def main():
     checks.append(("cc anchor: no cartesian/nested-loop join",
                    "Cartesian" not in p and "NestedLoop" not in p))
 
+    # 19. decontamination: bench shingle set broadcast (map-side hit
+    # join, zero corpus shuffle), join keys are 64-bit hashes not text
+    p = plan_of(em.queries()["decontam_ngram"](spark, sf_dir))
+    sections.append(("decontam_ngram (benchmark decontamination)", p,
+                     ["BroadcastHashJoin", "xxhash64"]))
+    checks.append(("decontam: bench side broadcast (LeftSemi map-side)",
+                   "BroadcastHashJoin" in p and "LeftSemi" in p))
+    checks.append(("decontam: hit-join keys are xxhash64, not text",
+                   "xxhash64" in p))
+    checks.append(("decontam: no cartesian/nested-loop join",
+                   "Cartesian" not in p and "NestedLoop" not in p))
+
     md = ["# PLANS — physical plan audit (local, AQE on)\n",
           "Generated by tools/plan_audit.py. Checks:\n"]
     fails = 0
