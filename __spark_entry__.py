@@ -233,6 +233,26 @@ def q_word_jaccard_pairs(spark, sf_dir):
                       "n_common", "jaccard_e6")
 
 
+def q_incremental_exact_dedup(spark, sf_dir):
+    """Incremental (append-batch) exact dedup against history
+    (operators/incremental.exact_dup_against): odd-doc_id docs are the
+    arriving batch, history is the even docs PLUS every doc_id%10==1
+    text (planted overlap — the synthetic documents table has no
+    cross-doc exact dups of its own), so dup_of_old is true exactly for
+    the %10==1 batch docs. Spark joins 128-bit fingerprints + null
+    flag (16 B/doc on the wire, never the text); the oracle compares
+    texts directly — identical absent a 128-bit collision."""
+    from minhash_rs_spark.operators.incremental import exact_dup_against
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    old = docs.where((F.col("doc_id") % 2 == 0)
+                     | (F.col("doc_id") % 10 == 1)).select("text")
+    return (exact_dup_against(new, old, id_col="doc_id", text_col="text")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "dup_of_old"))
+
+
 def q_decontam_ngram(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.py): every 20th
     document plays the eval/benchmark set; the remaining corpus docs are
@@ -604,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_size_histogram": q_cc_size_histogram,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "decontam_ngram": q_decontam_ngram,
+        "incremental_exact_dedup": q_incremental_exact_dedup,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "cc_stride_clusters": q_cc_stride_clusters,
         "bpe_token_count": q_bpe_token_count,
@@ -826,6 +847,14 @@ def oracle_sql() -> dict[str, str]:
                   // greatest(CAST(len(wa.words) + len(wb.words)
                                    - len(list_intersect(wa.words, wb.words)) AS BIGINT), 1)
                   >= 200000
+        """,
+        "incremental_exact_dedup": """
+            SELECT n.doc_id,
+                   EXISTS (SELECT 1 FROM documents o
+                           WHERE (o.doc_id % 2 = 0 OR o.doc_id % 10 = 1)
+                             AND o.text IS NOT DISTINCT FROM n.text)
+                     AS dup_of_old
+            FROM documents n WHERE n.doc_id % 2 = 1
         """,
         "decontam_ngram": f"""
             WITH corpus AS (

@@ -108,6 +108,19 @@ class CheckpointManager:
         })
         return out
 
+    def table(self, stage: str) -> DataFrame:
+        """Read a COMMITTED stage table (no recompute path) — the
+        queryable-checkpoint surface other jobs build on (e.g.
+        operators/incremental.py dedups a new batch against a prior
+        run's `sigs`/`shingles` tables without touching its inputs).
+        Raises if the stage was never committed under this fingerprint.
+        """
+        if not self.committed(stage):
+            raise FileNotFoundError(
+                f"stage '{stage}' not committed under fingerprint "
+                f"{self.fingerprint} in {self.base_dir}")
+        return self._read(stage, str(self._stage_path(stage)))
+
     # ---- format seam (parquet today, Iceberg on a real cluster) ----
 
     def _table_ident(self, name: str) -> str:

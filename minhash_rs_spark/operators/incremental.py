@@ -1,0 +1,187 @@
+"""Incremental (append-batch) dedup: dedup a NEW batch of conversations
+against an already-processed corpus WITHOUT re-reading the corpus —
+only its checkpointed `sigs`/`shingles` stage tables (io/checkpoint.py).
+
+The reference is batch-only (each `min-hash` run re-hashes the whole
+input, /root/reference/src/main.rs:1684-1701); at 100 TB the production
+shape is "a new day of data arrives, kill what duplicates history".
+This module adds that shape on top of the same kernels:
+
+- unverified (reference-parity band-collision semantics): the old
+  corpus is reduced to ONE row per (band_id, sig) bucket — an algebraic
+  min/count groupBy whose partial aggregation absorbs hot-bucket skew —
+  so the new batch joins 1:1 against bucket representatives and the
+  output is bounded by |new sigs| = O(new_docs x bands). The 100 TB
+  history never appears as join fan-out.
+- verified (jaccard_threshold set): each old bucket keeps up to
+  `old_cap` member ids (deterministic: sorted, first-claimant — the
+  same capped-candidate stance as lsh.pair_edges), candidates pass the
+  exact integer length-ratio prefilter (verify.py semantics), and the
+  surviving pairs are scored by the batch-vectorized exact-Jaccard
+  Arrow kernel. A giant old bucket can truncate candidates past
+  old_cap — documented recall trade, identical in kind to pair_cap.
+
+New-vs-new duplicates inside the batch are the ordinary pipeline's job
+(run_minhash on the batch); compose both for full append semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minhash_rs_spark.config import MinHashConfig
+from minhash_rs_spark.functions.fingerprint import fingerprint128
+from minhash_rs_spark.functions.udfs import with_jaccard
+
+_BUCKET = ["band_id", "sig_hi", "sig_lo"]
+_RATIO_SLACK = 1e-9  # strictly conservative float bound (verify.py)
+
+
+def dup_against_corpus(new_sigs: DataFrame, old_sigs: DataFrame,
+                       new_shingles: DataFrame | None = None,
+                       old_shingles: DataFrame | None = None,
+                       threshold: float | None = None,
+                       old_cap: int = 8) -> DataFrame:
+    """Matches of new conversations against the old corpus.
+
+    Returns (conv_id, matched_old, n_band_hits[, jaccard]) — one row
+    per new conversation that collides with history (unverified), or
+    whose best exact-Jaccard vs a capped old candidate set clears
+    `threshold` (verified; jaccard is the best score, matched_old its
+    doc, ties broken by min matched_old).
+    """
+    if threshold is None:
+        old_buckets = (old_sigs.groupBy(*_BUCKET)
+                       .agg(F.min("conv_id").alias("_rep")))
+        return (new_sigs.join(old_buckets, _BUCKET)
+                .groupBy("conv_id")
+                .agg(F.min("_rep").alias("matched_old"),
+                     F.count(F.lit(1)).alias("n_band_hits")))
+    if new_shingles is None or old_shingles is None:
+        raise ValueError("verified incremental dedup needs both "
+                         "shingle tables (threshold is set)")
+    old_members = (old_sigs.groupBy(*_BUCKET)
+                   .agg(F.slice(F.sort_array(F.collect_set("conv_id")),
+                                1, old_cap).alias("_olds")))
+    cand = (new_sigs.join(old_members, _BUCKET)
+            .select(F.col("conv_id").alias("src"),
+                    F.explode("_olds").alias("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n_band_hits")))
+    # exact length-ratio prefilter on the two int counts (provable
+    # failures never reach the array joins / kernel — verify.py)
+    nsz = new_shingles.select(F.col("conv_id").alias("src"),
+                              F.size("shingles").alias("_na"))
+    osz = old_shingles.select(F.col("conv_id").alias("dst"),
+                              F.size("shingles").alias("_nb"))
+    cand = (cand.join(nsz, "src").join(osz, "dst")
+            .where(F.least("_na", "_nb").cast("double")
+                   >= F.greatest("_na", "_nb")
+                   * F.lit(float(threshold) - _RATIO_SLACK))
+            .select("src", "dst", "n_band_hits"))
+    joined = (cand
+              .join(new_shingles.select(F.col("conv_id").alias("src"),
+                                        F.col("shingles").alias("sh_src")),
+                    "src")
+              .join(old_shingles.select(F.col("conv_id").alias("dst"),
+                                        F.col("shingles").alias("sh_dst")),
+                    "dst")
+              .select("src", "dst", "n_band_hits", "sh_src", "sh_dst"))
+    scored = (with_jaccard(joined, "sh_src", "sh_dst", "jaccard")
+              .where(F.col("jaccard") >= F.lit(float(threshold))))
+    best = scored.groupBy("src").agg(F.max("jaccard").alias("jaccard"))
+    out = (scored.join(best, ["src", "jaccard"])  # ties: same kernel value
+           .groupBy("src", "jaccard")
+           .agg(F.min("dst").alias("matched_old"),
+                F.min_by("n_band_hits", "dst").alias("n_band_hits")))
+    return out.select(F.col("src").alias("conv_id"), "matched_old",
+                      "n_band_hits", "jaccard")
+
+
+@dataclass
+class IncrementalResult:
+    matches: DataFrame   # (conv_id, matched_old, n_band_hits[, jaccard])
+    output: DataFrame    # new turns, pruned or annotated
+    config: MinHashConfig
+
+    def collect_stats(self, new_turns: DataFrame,
+                      conv_col: str = "conv_id") -> dict:
+        n_new = new_turns.select(conv_col).distinct().count()
+        n_dup = self.matches.count()
+        return {"new_conversations": n_new, "dup_of_old": n_dup,
+                "removal_rate": (n_dup / n_new) if n_new else 0.0}
+
+
+def incremental_minhash(spark: SparkSession, new_turns: DataFrame,
+                        cfg: MinHashConfig, batch_token: str,
+                        base_token: str = "",
+                        old_cap: int = 8) -> IncrementalResult:
+    """Dedup `new_turns` against the committed checkpoint of a prior
+    run_minhash(.., input_token=base_token) with the SAME cfg (the
+    config fingerprint must match or the old tables won't resolve —
+    byte-compatible signatures are exactly what the fingerprint
+    namespace guarantees). The batch's own docs/shingles/sigs are
+    checkpointed under `batch_token`, so a killed incremental job
+    resumes like any other run.
+
+    Prune semantics: output = new turns minus conversations that
+    duplicate HISTORY (cfg.annotate_only=True annotates instead:
+    dup_of_old + matched_old columns).
+    """
+    from minhash_rs_spark.io.checkpoint import CheckpointManager
+    from minhash_rs_spark.pipeline import config_fingerprint, run_minhash
+
+    if cfg.checkpoint_dir is None:
+        raise ValueError("incremental_minhash requires cfg.checkpoint_dir "
+                         "(the old corpus is reached via its checkpoint)")
+    old_ckpt = CheckpointManager(spark, cfg.checkpoint_dir,
+                                 config_fingerprint(cfg, base_token))
+    old_sigs = old_ckpt.table("sigs")
+    verified = cfg.jaccard_threshold is not None
+    old_sh = old_ckpt.table("shingles") if verified else None
+
+    run_minhash(spark, new_turns, cfg, input_token=batch_token,
+                upto="sigs")
+    new_ckpt = CheckpointManager(spark, cfg.checkpoint_dir,
+                                 config_fingerprint(cfg, batch_token))
+    new_sigs = new_ckpt.table("sigs")
+    new_sh = new_ckpt.table("shingles") if verified else None
+
+    matches = dup_against_corpus(new_sigs, old_sigs, new_sh, old_sh,
+                                 threshold=cfg.jaccard_threshold,
+                                 old_cap=old_cap)
+    key = matches.select(F.col("conv_id").alias(cfg.conv_col))
+    if cfg.annotate_only:
+        ann = matches.select(F.col("conv_id").alias(cfg.conv_col),
+                             "matched_old",
+                             F.lit(True).alias("dup_of_old"))
+        output = (new_turns.join(ann, cfg.conv_col, "left")
+                  .withColumn("dup_of_old",
+                              F.coalesce("dup_of_old", F.lit(False))))
+    else:
+        output = new_turns.join(key, cfg.conv_col, "left_anti")
+    return IncrementalResult(matches=matches, output=output, config=cfg)
+
+
+def exact_dup_against(new_docs: DataFrame, old_docs: DataFrame,
+                      id_col: str = "conv_id",
+                      text_col: str = "doc_text") -> DataFrame:
+    """Exact incremental dedup: (id, dup_of_old) per NEW document —
+    dup_of_old iff its text equals (null-distinct, exact_dedup.py key
+    discipline) some OLD document's text. The join key is the 128-bit
+    fingerprint pair + null flag, never the text: at 100 TB the key IS
+    the data, and 16 bytes/doc is what history costs on the wire."""
+    fa, fb = fingerprint128(text_col)
+    nullf = F.col(text_col).isNull().alias("_fnull")
+    old_keys = (old_docs.select(fa.alias("_fa"), fb.alias("_fb"), nullf)
+                .distinct())
+    new_keyed = new_docs.select(F.col(id_col), fa.alias("_fa"),
+                                fb.alias("_fb"), nullf)
+    hit = (new_keyed.join(old_keys, ["_fa", "_fb", "_fnull"], "left_semi")
+           .select(id_col, F.lit(True).alias("dup_of_old")))
+    return (new_docs.select(id_col).join(hit, id_col, "left")
+            .withColumn("dup_of_old",
+                        F.coalesce("dup_of_old", F.lit(False))))

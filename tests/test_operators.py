@@ -1084,3 +1084,106 @@ def test_subsample_survivors_invariant_to_partitioning_and_order(spark):
         num.orderBy(F.desc("conv_id")).repartition(37, "cc_id"), 0.5,
         seed=3, method="poly").select("cc_id").distinct().collect()}
     assert a == b and 0 < len(a) < 97
+
+
+def _one_turn_rows(pairs):
+    return [(cid, 0, txt) for cid, txt in pairs]
+
+
+def test_incremental_minhash_against_checkpoint(spark, tmp_path):
+    """New-batch dedup against a prior run's checkpointed sigs/shingles:
+    exact dup and near-dup of history are matched (verified path scores
+    them), fresh docs survive, and re-running the same batch token
+    resumes to identical matches."""
+    from minhash_rs_spark.operators.incremental import incremental_minhash
+    from minhash_rs_spark.pipeline import run_minhash
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "apple banana cherry date elder fig grape honey iris jade "
+            "kiwi lemon mango nectar olive peach quince rose sage thyme "
+            "umber violet wheat xenia yarrow zinnia amber birch cedar")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen "
+             "eighteen nineteen twenty twentyone twentytwo twentythree "
+             "twentyfour twentyfive twentysix twentyseven twentyeight "
+             "twentynine thirty thirtyone thirtytwo thirtythree "
+             "thirtyfour thirtyfive thirtysix thirtyseven thirtyeight "
+             "thirtynine forty fortyone fortytwo fortythree fortyfour "
+             "fortyfive fortysix fortyseven fortyeight fortynine fifty")
+    old_turns = spark.createDataFrame(
+        _one_turn_rows([("old1", base), ("old2", other),
+                        ("old3", "totally disjoint short corpus doc "
+                                 "about ships harbors anchors sails")]),
+        ["conv_id", "turn_idx", "text"])
+    new_turns = spark.createDataFrame(
+        _one_turn_rows([("newA", base + " appended tail"),   # near-dup
+                        ("newB", other),                     # exact dup
+                        ("newC", "fresh unseen content words nothing "
+                                 "matches here at all in any shingle "
+                                 "window of this new document text")]),
+        ["conv_id", "turn_idx", "text"])
+
+    cfg = MinHashConfig(checkpoint_dir=str(tmp_path / "ck"),
+                        jaccard_threshold=0.5, annotate_only=False)
+    run_minhash(spark, old_turns, cfg, input_token="base").assignments.count()
+
+    res = incremental_minhash(spark, new_turns, cfg,
+                              batch_token="b1", base_token="base")
+    got = {r["conv_id"]: r for r in res.matches.collect()}
+    assert set(got) == {"newA", "newB"}
+    assert got["newA"]["matched_old"] == "old1"
+    assert got["newB"]["matched_old"] == "old2"
+    assert got["newB"]["jaccard"] == 1.0
+    assert 0.5 <= got["newA"]["jaccard"] < 1.0
+    assert {r["conv_id"] for r in res.output.collect()} == {"newC"}
+    stats = res.collect_stats(new_turns)
+    assert stats == {"new_conversations": 3, "dup_of_old": 2,
+                     "removal_rate": 2 / 3}
+
+    # resume: same tokens -> identical matches, no recompute surprises
+    res2 = incremental_minhash(spark, new_turns, cfg,
+                               batch_token="b1", base_token="base")
+    assert sorted(map(tuple, res2.matches.collect())) == \
+        sorted(map(tuple, res.matches.collect()))
+
+    # unverified (reference-parity band collision) finds the same docs
+    cfg_u = MinHashConfig(checkpoint_dir=str(tmp_path / "ck_u"))
+    run_minhash(spark, old_turns, cfg_u, input_token="base").assignments.count()
+    res_u = incremental_minhash(spark, new_turns, cfg_u,
+                                batch_token="b1", base_token="base")
+    rows_u = {r["conv_id"]: r["matched_old"]
+              for r in res_u.matches.collect()}
+    assert rows_u == {"newA": "old1", "newB": "old2"}
+
+    # annotate mode (the default) keeps every turn, flags the dups —
+    # annotate_only is excluded from the stage fingerprint, so this
+    # resumes from the very same base/batch checkpoint tables
+    cfg_a = MinHashConfig(checkpoint_dir=str(tmp_path / "ck"),
+                          jaccard_threshold=0.5, annotate_only=True)
+    res_a = incremental_minhash(spark, new_turns, cfg_a,
+                                batch_token="b1", base_token="base")
+    flags = {r["conv_id"]: r["dup_of_old"] for r in res_a.output.collect()}
+    assert flags == {"newA": True, "newB": True, "newC": False}
+
+
+def test_exact_dup_against_null_distinct(spark):
+    from minhash_rs_spark.operators.incremental import exact_dup_against
+
+    schema = "conv_id string, doc_text string"
+    old = spark.createDataFrame(
+        [("o1", "same text"), ("o2", ""), ("o3", None)], schema)
+    new = spark.createDataFrame(
+        [("n1", "same text"), ("n2", ""), ("n3", None),
+         ("n4", "different")], schema)
+    got = {r["conv_id"]: r["dup_of_old"]
+           for r in exact_dup_against(new, old).collect()}
+    assert got == {"n1": True, "n2": True, "n3": True, "n4": False}
+
+    # null vs '' stay distinct when only one side has the other
+    old2 = spark.createDataFrame([("o1", "")], schema)
+    new2 = spark.createDataFrame([("n1", None)], schema)
+    got2 = {r["conv_id"]: r["dup_of_old"]
+            for r in exact_dup_against(new2, old2).collect()}
+    assert got2 == {"n1": False}

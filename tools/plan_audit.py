@@ -282,6 +282,17 @@ def main():
     checks.append(("decontam: no cartesian/nested-loop join",
                    "Cartesian" not in p and "NestedLoop" not in p))
 
+    # 20. incremental exact dedup: history joins as 128-bit fingerprint
+    # keys (never text), LeftSemi against the distinct-reduced old side
+    p = plan_of(em.queries()["incremental_exact_dedup"](spark, sf_dir))
+    sections.append(("incremental_exact_dedup (batch vs history)", p,
+                     ["LeftSemi", "xxhash64"]))
+    checks.append(("incremental exact: fingerprint keys in plan "
+                   "(xxhash64 pair), LeftSemi hit join",
+                   "xxhash64" in p and "LeftSemi" in p))
+    checks.append(("incremental exact: text never a partitioning key",
+                   "hashpartitioning(text" not in p.replace(" ", "")))
+
     md = ["# PLANS — physical plan audit (local, AQE on)\n",
           "Generated by tools/plan_audit.py. Checks:\n"]
     fails = 0
