@@ -117,31 +117,46 @@ class IncrementalResult:
 
 def incremental_minhash(spark: SparkSession, new_turns: DataFrame,
                         cfg: MinHashConfig, batch_token: str,
-                        base_token: str = "",
+                        base_token: str | list[str] = "",
                         old_cap: int = 8) -> IncrementalResult:
-    """Dedup `new_turns` against the committed checkpoint of a prior
-    run_minhash(.., input_token=base_token) with the SAME cfg (the
+    """Dedup `new_turns` against the committed checkpoint(s) of prior
+    run_minhash / incremental_minhash runs with the SAME cfg (the
     config fingerprint must match or the old tables won't resolve —
     byte-compatible signatures are exactly what the fingerprint
     namespace guarantees). The batch's own docs/shingles/sigs are
     checkpointed under `batch_token`, so a killed incremental job
     resumes like any other run.
 
+    base_token accepts a LIST of input tokens for the append-only
+    chain: day N dedups against ["base", "day1", ..., "dayN-1"] — each
+    prior batch's sigs/shingles are already on disk from its own
+    incremental run, so history is a union of committed tables, still
+    never recomputed.
+
     Prune semantics: output = new turns minus conversations that
     duplicate HISTORY (cfg.annotate_only=True annotates instead:
     dup_of_old + matched_old columns).
     """
+    from functools import reduce
+
     from minhash_rs_spark.io.checkpoint import CheckpointManager
     from minhash_rs_spark.pipeline import config_fingerprint, run_minhash
 
     if cfg.checkpoint_dir is None:
         raise ValueError("incremental_minhash requires cfg.checkpoint_dir "
                          "(the old corpus is reached via its checkpoint)")
-    old_ckpt = CheckpointManager(spark, cfg.checkpoint_dir,
-                                 config_fingerprint(cfg, base_token))
-    old_sigs = old_ckpt.table("sigs")
+    tokens = [base_token] if isinstance(base_token, str) else list(base_token)
+    if not tokens:
+        raise ValueError("base_token must name at least one prior run")
+    old_ckpts = [CheckpointManager(spark, cfg.checkpoint_dir,
+                                   config_fingerprint(cfg, t))
+                 for t in tokens]
+    old_sigs = reduce(DataFrame.unionByName,
+                      [c.table("sigs") for c in old_ckpts])
     verified = cfg.jaccard_threshold is not None
-    old_sh = old_ckpt.table("shingles") if verified else None
+    old_sh = (reduce(DataFrame.unionByName,
+                     [c.table("shingles") for c in old_ckpts])
+              if verified else None)
 
     run_minhash(spark, new_turns, cfg, input_token=batch_token,
                 upto="sigs")

@@ -1148,6 +1148,25 @@ def test_incremental_minhash_against_checkpoint(spark, tmp_path):
     assert sorted(map(tuple, res2.matches.collect())) == \
         sorted(map(tuple, res.matches.collect()))
 
+    # append-only chain: batch2 dedups against base AND batch1 via a
+    # token list (union of committed sigs/shingles — nothing recomputed)
+    new2 = spark.createDataFrame(
+        _one_turn_rows([("b2A", "fresh unseen content words nothing "
+                                "matches here at all in any shingle "
+                                "window of this new document text"),
+                        ("b2B", other),
+                        ("b2C", "another entirely new batch two doc "
+                                "with its own words that match no "
+                                "history shingles anywhere at all")]),
+        ["conv_id", "turn_idx", "text"])
+    res_c = incremental_minhash(spark, new2, cfg, batch_token="b2",
+                                base_token=["base", "b1"])
+    chain = {r["conv_id"]: r["matched_old"] for r in res_c.matches.collect()}
+    # b2B ties at jaccard 1.0 with BOTH old2 (base) and newB (batch1,
+    # itself a dup of old2); min-id tie-break picks "newB" < "old2"
+    assert chain == {"b2A": "newC", "b2B": "newB"}
+    assert {r["conv_id"] for r in res_c.output.collect()} == {"b2C"}
+
     # unverified (reference-parity band collision) finds the same docs
     cfg_u = MinHashConfig(checkpoint_dir=str(tmp_path / "ck_u"))
     run_minhash(spark, old_turns, cfg_u, input_token="base").assignments.count()
