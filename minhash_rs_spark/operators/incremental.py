@@ -63,9 +63,22 @@ def dup_against_corpus(new_sigs: DataFrame, old_sigs: DataFrame,
     if new_shingles is None or old_shingles is None:
         raise ValueError("verified incremental dedup needs both "
                          "shingle tables (threshold is set)")
-    old_members = (old_sigs.groupBy(*_BUCKET)
-                   .agg(F.slice(F.sort_array(F.collect_set("conv_id")),
-                                1, old_cap).alias("_olds")))
+    # salt-local two-phase cap: a mega-bucket (e.g. near-empty docs
+    # across the whole history) would otherwise stream EVERY member id
+    # into one collect_set buffer. Phase 1 keeps the old_cap smallest
+    # ids within each of 64 salt sub-groups, phase 2 merges <=
+    # 64*old_cap survivors per bucket — each salt group contributes its
+    # local minima, so the merged slice equals the global old_cap
+    # smallest (same degenerate-giant-task discipline as
+    # lsh.chain_edges' salt-local windows).
+    _salt = F.pmod(F.xxhash64("conv_id"), F.lit(64))
+    phase1 = (old_sigs.groupBy(*_BUCKET, _salt.alias("_s"))
+              .agg(F.slice(F.sort_array(F.collect_set("conv_id")),
+                           1, old_cap).alias("_ids")))
+    old_members = (phase1.groupBy(*_BUCKET)
+                   .agg(F.slice(F.array_sort(F.flatten(
+                        F.collect_list("_ids"))), 1, old_cap)
+                        .alias("_olds")))
     cand = (new_sigs.join(old_members, _BUCKET)
             .select(F.col("conv_id").alias("src"),
                     F.explode("_olds").alias("dst"))

@@ -1206,3 +1206,31 @@ def test_exact_dup_against_null_distinct(spark):
     got2 = {r["conv_id"]: r["dup_of_old"]
             for r in exact_dup_against(new2, old2).collect()}
     assert got2 == {"n1": False}
+
+
+def test_dup_against_corpus_megabucket_cap(spark):
+    """A degenerate old-side bucket (200 identical docs) must not
+    change semantics under the salt-local two-phase cap: the match is
+    the global-min old id, and every new doc still verifies."""
+    from minhash_rs_spark.operators.incremental import dup_against_corpus
+
+    old_ids = [f"o{i:03d}" for i in range(200)]
+    old_sigs = spark.createDataFrame(
+        [(cid, 0, 11, 22) for cid in old_ids],
+        "conv_id string, band_id int, sig_hi long, sig_lo long")
+    old_sh = spark.createDataFrame(
+        [(cid, [1, 2, 3, 4]) for cid in old_ids],
+        "conv_id string, shingles array<long>")
+    new_sigs = spark.createDataFrame(
+        [("n1", 0, 11, 22)],
+        "conv_id string, band_id int, sig_hi long, sig_lo long")
+    new_sh = spark.createDataFrame(
+        [("n1", [1, 2, 3, 4])],
+        "conv_id string, shingles array<long>")
+    for cap in (1, 8):
+        got = dup_against_corpus(new_sigs, old_sigs, new_sh, old_sh,
+                                 threshold=0.9, old_cap=cap).collect()
+        assert len(got) == 1
+        assert got[0]["conv_id"] == "n1"
+        assert got[0]["matched_old"] == "o000"   # global min, any cap
+        assert got[0]["jaccard"] == 1.0

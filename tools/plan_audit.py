@@ -293,6 +293,23 @@ def main():
     checks.append(("incremental exact: text never a partitioning key",
                    "hashpartitioning(text" not in p.replace(" ", "")))
 
+    # 21. incremental verified path: old-side candidate cap must be
+    # salt-local (two-phase, bounded agg buffers) — a mega-bucket must
+    # never stream all member ids into one collect_set
+    from minhash_rs_spark.operators.incremental import dup_against_corpus
+    sig_schema = "conv_id string, band_id int, sig_hi long, sig_lo long"
+    sh_schema = "conv_id string, shingles array<long>"
+    toy_old = spark.createDataFrame([("o1", 0, 1, 2)], sig_schema)
+    toy_new = spark.createDataFrame([("n1", 0, 1, 2)], sig_schema)
+    toy_old_sh = spark.createDataFrame([("o1", [1, 2])], sh_schema)
+    toy_new_sh = spark.createDataFrame([("n1", [1, 2])], sh_schema)
+    p = plan_of(dup_against_corpus(toy_new, toy_old, toy_new_sh,
+                                   toy_old_sh, threshold=0.5))
+    sections.append(("dup_against_corpus verified (salt-local old cap)",
+                     p, ["pmod", "collect_set"]))
+    checks.append(("incremental verified: old-side cap salt-local "
+                   "(pmod salt feeds collect_set phase)", "pmod" in p))
+
     md = ["# PLANS — physical plan audit (local, AQE on)\n",
           "Generated by tools/plan_audit.py. Checks:\n"]
     fails = 0
