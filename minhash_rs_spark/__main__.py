@@ -10,6 +10,11 @@ Commands (reference analog):
   exact-dedup          exact-text dedup          (src/exact_dedup.rs)
   dup-aware-subsample  component-level sampling  (src/dup_aware_subsample.rs)
   true-jacc            intra-cluster exact Jaccard (src/main.rs:1573-1677)
+  incremental          dedup a NEW batch against prior runs' committed
+                       checkpoints (no reference analog — append-only
+                       production shape; operators/incremental.py)
+  decontam             flag docs sharing word k-grams with a benchmark
+                       set (operators/decontam.py)
 
 The YAML config keys are the reference's (num_bands, band_size,
 ngram_size, tokenizer_str, hash_seed, content_key, annotate_only,
@@ -45,7 +50,7 @@ def main(argv=None):
         # src/main.rs:1725-1756) — each materializes the pipeline up to
         # its checkpoint stage; later invocations resume from there
         "build-file-map", "hash-only", "gather-edges", "build-uf",
-        "uf-size-prune", "annotate"])
+        "uf-size-prune", "annotate", "incremental", "decontam"])
     p.add_argument("--config", help="reference-style YAML (or JSON) config")
     p.add_argument("--input", required=True,
                    help="parquet path of the transcripts table")
@@ -62,6 +67,20 @@ def main(argv=None):
     p.add_argument("--subsample-rate", type=float, default=None)
     p.add_argument("--max-cc-size", type=int, default=None)
     p.add_argument("--jaccard-threshold", type=float, default=None)
+    p.add_argument("--base-token", action="append", default=None,
+                   help="incremental only (repeatable): input_token of "
+                        "a prior run whose committed sigs/shingles form "
+                        "history")
+    p.add_argument("--batch-token", default=None,
+                   help="incremental only: checkpoint token for THIS "
+                        "batch (default: --input path)")
+    p.add_argument("--benchmark", default=None,
+                   help="decontam only: parquet of the benchmark/eval "
+                        "docs (needs the --text-col column)")
+    p.add_argument("--k", type=int, default=8,
+                   help="decontam only: word k-gram size")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
 
     from dataclasses import replace
@@ -151,6 +170,34 @@ def main(argv=None):
                 "build-uf": "cc"}[args.command]
         run_minhash(spark, turns, cfg, input_token=args.input, upto=upto)
         print(json.dumps({"stage": upto, "checkpoint": cfg.checkpoint_dir}))
+    elif args.command == "incremental":
+        from minhash_rs_spark.operators.incremental import incremental_minhash
+
+        if not cfg.checkpoint_dir:
+            raise SystemExit("incremental requires --checkpoint-dir")
+        if not args.base_token:
+            raise SystemExit("incremental requires >= 1 --base-token")
+        res = incremental_minhash(
+            spark, turns, cfg,
+            batch_token=args.batch_token or args.input,
+            base_token=args.base_token)
+        res.output.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(res.collect_stats(turns, cfg.conv_col)))
+    elif args.command == "decontam":
+        from pyspark.sql import functions as F
+
+        from minhash_rs_spark.operators.decontam import decontaminate
+
+        if not args.benchmark:
+            raise SystemExit("decontam requires --benchmark <parquet>")
+        bench = spark.read.parquet(args.benchmark)
+        out = decontaminate(turns, bench, k=args.k, id_col=args.id_col,
+                            text_col=args.text_col)
+        out.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        print(json.dumps({
+            "docs": written.count(),
+            "contaminated": written.where(F.col("contaminated")).count()}))
     elif args.command in ("uf-size-prune", "annotate"):
         from dataclasses import replace as _r
 

@@ -113,3 +113,42 @@ def test_cli_subsample_from_prior_annotations(turns_parquet, tmp_path, spark):
                spark.read.parquet(str(out_recompute)).collect()}
     assert kept_prior == kept_re
     assert 0 < len(kept_prior)
+
+
+def test_cli_incremental_and_decontam(turns_parquet, tmp_path, spark):
+    """New-op subcommands: `incremental` dedups a batch against the
+    checkpoint a prior min-hash run committed; `decontam` flags k-gram
+    overlap against a benchmark parquet."""
+    ck = tmp_path / "ck"
+    base_out = tmp_path / "base_out"
+    p = _run_cli("min-hash", "--input", turns_parquet,
+                 "--output", str(base_out), "--checkpoint-dir", str(ck))
+    assert p.returncode == 0, p.stderr[-2000:]
+    # the batch: reuse the same turns (everything duplicates history)
+    inc_out = tmp_path / "inc_out"
+    p = _run_cli("incremental", "--input", turns_parquet,
+                 "--output", str(inc_out), "--checkpoint-dir", str(ck),
+                 "--base-token", turns_parquet,
+                 "--batch-token", "day1")
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["dup_of_old"] == stats["new_conversations"] > 0
+    assert stats["removal_rate"] == 1.0
+
+    # decontam: benchmark = the same docs -> everything contaminated
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")],
+        "doc_id long, text string")
+    docs_p = tmp_path / "docs.parquet"
+    bench_p = tmp_path / "bench.parquet"
+    docs.write.parquet(str(docs_p))
+    docs.limit(1).write.parquet(str(bench_p))
+    dec_out = tmp_path / "dec_out"
+    p = _run_cli("decontam", "--input", str(docs_p),
+                 "--output", str(dec_out), "--benchmark", str(bench_p),
+                 "--k", "4")
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats == {"docs": 2, "contaminated": 1}
