@@ -711,10 +711,14 @@ def _stride_pairs_sql() -> str:
                    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
                    CAST(len(a.s) + len(b.s)
                         - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union,
-                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 1000000
-                     // CAST(greatest(len(a.s) + len(b.s)
-                            - len(list_intersect(a.s, b.s)), 1) AS BIGINT)
-                     AS jac_e6
+                   CASE WHEN len(a.s) + len(b.s)
+                             - len(list_intersect(a.s, b.s)) = 0
+                        THEN CAST(1000000 AS BIGINT)
+                        ELSE CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
+                             * 1000000
+                             // CAST(len(a.s) + len(b.s)
+                                 - len(list_intersect(a.s, b.s)) AS BIGINT)
+                   END AS jac_e6
             FROM sh a JOIN sh b
               ON b.doc_id - a.doc_id IN {tuple(_STRIDES)}
     """

@@ -76,7 +76,12 @@ def main(argv=None):
                         "batch (default: --input path)")
     p.add_argument("--benchmark", default=None,
                    help="decontam only: parquet of the benchmark/eval "
-                        "docs (needs the --text-col column)")
+                        "docs (text read from --bench-text-col, which "
+                        "defaults to --text-col)")
+    p.add_argument("--bench-text-col", default=None,
+                   help="decontam only: text column of the --benchmark "
+                        "parquet when it differs from the corpus's "
+                        "--text-col")
     p.add_argument("--k", type=int, default=8,
                    help="decontam only: word k-gram size")
     p.add_argument("--id-col", default="doc_id")
@@ -192,7 +197,9 @@ def main(argv=None):
             raise SystemExit("decontam requires --benchmark <parquet>")
         bench = spark.read.parquet(args.benchmark)
         out = decontaminate(turns, bench, k=args.k, id_col=args.id_col,
-                            text_col=args.text_col)
+                            text_col=args.text_col,
+                            bench_text_col=(args.bench_text_col
+                                            or args.text_col))
         out.write.mode("overwrite").parquet(args.output)
         written = spark.read.parquet(args.output)
         print(json.dumps({

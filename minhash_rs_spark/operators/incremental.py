@@ -65,20 +65,26 @@ def dup_against_corpus(new_sigs: DataFrame, old_sigs: DataFrame,
                          "shingle tables (threshold is set)")
     # salt-local two-phase cap: a mega-bucket (e.g. near-empty docs
     # across the whole history) would otherwise stream EVERY member id
-    # into one collect_set buffer. Phase 1 keeps the old_cap smallest
-    # ids within each of 64 salt sub-groups, phase 2 merges <=
-    # 64*old_cap survivors per bucket — each salt group contributes its
-    # local minima, so the merged slice equals the global old_cap
-    # smallest (same degenerate-giant-task discipline as
-    # lsh.chain_edges' salt-local windows).
+    # into one collect_set buffer. Phase 1 rank-filters to the old_cap
+    # smallest ids within each of 64 salt sub-groups — a row_number
+    # window, whose per-group work is an external SORT (spills, memory
+    # O(1)) rather than an aggregation buffer, so even a degenerate
+    # bucket of 10^8 identical signatures never holds more than the
+    # sort's run buffer in memory. Phase 2 merges the <= 64*old_cap
+    # survivors per bucket with a now-bounded collect_set — each salt
+    # group contributes its local minima, so the merged slice equals
+    # the global old_cap smallest (same degenerate-giant-task
+    # discipline as lsh.chain_edges' salt-local windows).
+    from pyspark.sql import Window
+
     _salt = F.pmod(F.xxhash64("conv_id"), F.lit(64))
-    phase1 = (old_sigs.groupBy(*_BUCKET, _salt.alias("_s"))
-              .agg(F.slice(F.sort_array(F.collect_set("conv_id")),
-                           1, old_cap).alias("_ids")))
+    wsalt = Window.partitionBy(*_BUCKET, "_s").orderBy("conv_id")
+    phase1 = (old_sigs.withColumn("_s", _salt)
+              .withColumn("_r", F.row_number().over(wsalt))
+              .where(F.col("_r") <= old_cap))
     old_members = (phase1.groupBy(*_BUCKET)
-                   .agg(F.slice(F.array_sort(F.flatten(
-                        F.collect_list("_ids"))), 1, old_cap)
-                        .alias("_olds")))
+                   .agg(F.slice(F.sort_array(F.collect_set("conv_id")),
+                                1, old_cap).alias("_olds")))
     cand = (new_sigs.join(old_members, _BUCKET)
             .select(F.col("conv_id").alias("src"),
                     F.explode("_olds").alias("dst"))
@@ -105,13 +111,19 @@ def dup_against_corpus(new_sigs: DataFrame, old_sigs: DataFrame,
               .select("src", "dst", "n_band_hits", "sh_src", "sh_dst"))
     scored = (with_jaccard(joined, "sh_src", "sh_dst", "jaccard")
               .where(F.col("jaccard") >= F.lit(float(threshold))))
-    best = scored.groupBy("src").agg(F.max("jaccard").alias("jaccard"))
-    out = (scored.join(best, ["src", "jaccard"])  # ties: same kernel value
-           .groupBy("src", "jaccard")
-           .agg(F.min("dst").alias("matched_old"),
-                F.min_by("n_band_hits", "dst").alias("n_band_hits")))
-    return out.select(F.col("src").alias("conv_id"), "matched_old",
-                      "n_band_hits", "jaccard")
+    # best match per new doc in ONE aggregation — min_by over the
+    # ordering struct (-jaccard asc == jaccard desc, then dst asc)
+    # selects the whole winning row, so no float-equality self-join
+    # whose two sides could recompute the kernel double under
+    # different plans (the cc_idx-bug class of optimizer hazard)
+    best = (scored.groupBy("src")
+            .agg(F.min_by(F.struct("dst", "n_band_hits", "jaccard"),
+                          F.struct((-F.col("jaccard")).alias("_nj"),
+                                   F.col("dst"))).alias("_b")))
+    return best.select(F.col("src").alias("conv_id"),
+                       F.col("_b.dst").alias("matched_old"),
+                       F.col("_b.n_band_hits").alias("n_band_hits"),
+                       F.col("_b.jaccard").alias("jaccard"))
 
 
 @dataclass
@@ -177,6 +189,16 @@ def incremental_minhash(spark: SparkSession, new_turns: DataFrame,
                                  config_fingerprint(cfg, batch_token))
     new_sigs = new_ckpt.table("sigs")
     new_sh = new_ckpt.table("shingles") if verified else None
+    if verified and cfg.max_shingles_per_doc is not None:
+        # same verification cap as the batch path (pipeline.py): the
+        # committed shingle tables are UNCAPPED (cap changes must not
+        # invalidate checkpoints), so the slice is applied at read time
+        # to BOTH sides — scores stay consistent with batch-path
+        # verification and a giant doc can't reintroduce the unbounded
+        # array-join cost the cap exists to bound
+        _cap = F.slice("shingles", 1, cfg.max_shingles_per_doc)
+        new_sh = new_sh.withColumn("shingles", _cap)
+        old_sh = old_sh.withColumn("shingles", _cap)
 
     matches = dup_against_corpus(new_sigs, old_sigs, new_sh, old_sh,
                                  threshold=cfg.jaccard_threshold,

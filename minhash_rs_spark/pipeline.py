@@ -66,9 +66,13 @@ class PipelineResult:
         EXACTLY one row per input conversation — a duplicate means a
         doc in two clusters, a shortfall means docs silently dropped
         (the failure mode of physical-consistency bugs that small-scale
-        tests never see). One extra single-column distinct count over
-        the already-grouped docs; cheap relative to the pipeline."""
+        tests never see). Total count alone can't see an OFFSETTING
+        failure (one conv duplicated while another is dropped), so the
+        invariant requires BOTH the row count and the distinct-conv_id
+        count to equal the input count. Two extra single-column counts
+        over the already-grouped docs; cheap relative to the pipeline."""
         n_docs = self.assignments.count()
+        n_distinct = self.assignments.select("conv_id").distinct().count()
         n_clusters = self.assignments.select("cc_id").distinct().count()
         n_input = self.docs.select("conv_id").distinct().count()
         removed = n_docs - n_clusters
@@ -78,7 +82,8 @@ class PipelineResult:
             "removed": removed,
             "removal_rate": removed / n_docs if n_docs else 0.0,
             "input_conversations": n_input,
-            "row_complete": n_docs == n_input,
+            "distinct_conversations": n_distinct,
+            "row_complete": n_docs == n_input == n_distinct,
         })
         return self.stats
 
