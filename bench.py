@@ -74,11 +74,38 @@ def tree_cpu_seconds() -> float:
     return total
 
 
+def wait_for_healthy_band(min_gbs: float = 1.9, attempts: int = 6,
+                          sleep_s: float = 45.0) -> tuple[bool, list[float]]:
+    """Gate the headline measurement on the host allocation band (the
+    same protocol tools/scaling_bench.py uses): this VM's fresh-page
+    path intermittently collapses (0.1-1.1 GB/s vs ~2+ healthy) and a
+    run started in a degraded window measures the band lottery, not the
+    engine — BENCH_r05's 40.4 s record vs the same commit's gated
+    34.5 s. Probe up to `attempts` times, sleeping between; return
+    (band_valid, all probe readings). On all-attempts-rejected the
+    caller proceeds anyway (the driver needs a number) with
+    band_valid=False stamped in the JSON as explicit evidence."""
+    probes = []
+    for i in range(attempts):
+        g = host_alloc_gbs()
+        probes.append(g)
+        if g >= min_gbs:
+            return True, probes
+        print(f"# band probe {i}: {g} GB/s < {min_gbs} — waiting",
+              file=sys.stderr)
+        if i < attempts - 1:
+            time.sleep(sleep_s)
+    return False, probes
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    alloc_gbs = host_alloc_gbs()
+    band_valid, band_probes = wait_for_healthy_band(
+        min_gbs=float(os.environ.get("SPARK_GRAFT_BAND_MIN_GBS", "1.9")),
+        attempts=int(os.environ.get("SPARK_GRAFT_BAND_ATTEMPTS", "6")))
+    alloc_gbs = band_probes[-1]
 
     import __spark_entry__ as entrymod
     from minhash_rs_spark.session import get_spark
@@ -134,9 +161,16 @@ def main():
     warmups = int(os.environ.get("SPARK_GRAFT_WARMUP_RUNS", "1"))
     timed_runs = max(1, int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "1")))
     warmup_walls = []
+    # n_big (the turn count, already materialized for the cache warm) is
+    # a valid conversation-count bound: under _CC_IDX_SINGLE_WINDOW_MAX
+    # it selects the single-window cc_idx plan — identical output,
+    # without the distributed plan's ~0.5-1 s of fixed stage barriers.
+    # Scaling corpora (>2M turns) exceed the bound and keep the
+    # scale-safe distributed plan, exactly as at 100 TB.
     for i in range(warmups):
         t0 = time.time()
-        run_minhash(spark, big_turns, MinHashConfig()).assignments.count()
+        run_minhash(spark, big_turns, MinHashConfig(),
+                    n_docs_hint=n_big).assignments.count()
         warmup_walls.append(round(time.time() - t0, 3))
         print(f"# flagship warmup {i}: {warmup_walls[-1]:.1f}s",
               file=sys.stderr)
@@ -144,7 +178,8 @@ def main():
     n_asg = 0
     for _ in range(timed_runs):
         cpu0, t0 = tree_cpu_seconds(), time.time()
-        res = run_minhash(spark, big_turns, MinHashConfig())
+        res = run_minhash(spark, big_turns, MinHashConfig(),
+                          n_docs_hint=n_big)
         n_asg = res.assignments.count()
         flagship_walls.append(round(time.time() - t0, 3))
         flagship_cpus.append(round(tree_cpu_seconds() - cpu0, 1))
@@ -207,6 +242,8 @@ def main():
         "turns_per_sec": round(n_big / flagship, 1) if flagship else None,
         "host_alloc_gbs": alloc_gbs,
         "host_alloc_gbs_after": host_alloc_gbs(),
+        "band_valid": band_valid,
+        "band_probes": band_probes,
     }
     spark.stop()
     print(json.dumps(out))

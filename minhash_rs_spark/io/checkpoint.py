@@ -108,6 +108,18 @@ class CheckpointManager:
         })
         return out
 
+    def rows_out(self, stage: str) -> int | None:
+        """Committed row count of a stage from its manifest record, or
+        None when the stage isn't committed (or checkpointing is off).
+        A local JSONL read — callers use it as a free n_docs_hint-style
+        bound (pipeline.run_minhash) without launching a Spark job."""
+        if self.base_dir is None or not self.committed(stage):
+            return None
+        for r in reversed(self._manifest_rows()):
+            if r["stage"] == stage and r["fingerprint"] == self.fingerprint:
+                return r.get("rows_out")
+        return None
+
     def table(self, stage: str) -> DataFrame:
         """Read a COMMITTED stage table (no recompute path) — the
         queryable-checkpoint surface other jobs build on (e.g.

@@ -104,14 +104,24 @@ def config_fingerprint(cfg: MinHashConfig, input_token: str = "") -> str:
 def run_minhash(spark: SparkSession, turns: DataFrame,
                 cfg: MinHashConfig | None = None,
                 input_token: str = "",
-                upto: str | None = None) -> PipelineResult:
+                upto: str | None = None,
+                n_docs_hint: int | None = None) -> PipelineResult:
     """upto: stop after materializing the named checkpoint stage
     ("docs" | "shingles" | "edges" | "verified_edges" | "cc" |
     "assignments") — the Spark analog of the reference\'s granular
     phase subcommands (hash-only/gather-edges/build-uf, README.md:84-91
     of the reference); requires cfg.checkpoint_dir so later phases
     resume from the committed tables. Downstream fields of the result
-    are None."""
+    are None.
+
+    n_docs_hint: caller-known upper bound on the CONVERSATION count
+    (a row/turn count is a valid bound). Small bounds let
+    cluster_assignments take the single-window cc_idx plan —
+    identical output, none of the distributed plan's fixed stage
+    barriers (~0.5-1 s at sf0.1). When the docs stage is already
+    checkpointed, the bound is read from its manifest for free;
+    unbounded callers leave it None and get the scale-safe
+    distributed plan."""
     cfg = cfg or MinHashConfig()
     if upto is not None and cfg.checkpoint_dir is None:
         raise ValueError("upto= requires cfg.checkpoint_dir (phase resume)")
@@ -213,8 +223,14 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
     # assignments need only the conversation-id set (cluster_assignments
     # reads docs.select("conv_id")) — doc_ids is a single-column
     # distinct over turns, so the assembled docs are never re-read here
-    assignments = ckpt.stage("assignments",
-                             lambda: cluster_assignments(doc_ids, cc))
+    if n_docs_hint is None:
+        # the committed docs manifest already carries the exact doc
+        # count (io/checkpoint.py lineage counters) — a local JSONL
+        # read, no Spark job
+        n_docs_hint = ckpt.rows_out("docs")
+    assignments = ckpt.stage(
+        "assignments",
+        lambda: cluster_assignments(doc_ids, cc, n_docs_hint=n_docs_hint))
     if cfg.checkpoint_dir is None:
         # CC eagerly materialized everything upstream (its entry
         # localCheckpoint); keep assignments resident, release the rest
