@@ -14,9 +14,12 @@ the identical input.
 Every queries() entry aliases its computed columns identically to the
 oracle SQL; integers are cast to long/BIGINT on both sides, floats are
 rounded, so the driver's order-insensitive value-hash comparison is
-exact. Queries whose math is not expressible in SQL (the MinHash /
-SimHash kernels, iterative connected components) have no oracle entry —
-the driver records the weaker rows-only check for exactly those.
+exact. Since round 6 the MinHash/SimHash signature kernels themselves
+are SQL-expressible (minhash_rs_spark/oracle_sql.py generates DuckDB
+UHUGEINT mod-2^64 twins of xxhash64 / rolling-poly / multiply-shift /
+band-sig / bit-vote math), so the signature and clustering queries
+carry full value-for-value oracles; the remaining no-oracle entries are
+streaming-state and float32-boundary queries.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from minhash_rs_spark import oracle_sql as OSQL
 from minhash_rs_spark.config import MinHashConfig
 
 TURN_CHARS = 80
@@ -489,10 +493,18 @@ def q_streaming_band_dedup(spark, sf_dir):
                     "n_bands", "n_matched_bands"))
 
 
-# ---- non-SQL-expressible (MinHash/SimHash kernels, iterative CC):
-# rows-only checks by design -------------------------------------------------
+# ---- signature-kernel queries: value-for-value DuckDB oracles since
+# round 6 (oracle_sql.py UHUGEINT twins of the integer kernels) ----------
 
 def q_minhash_signatures(spark, sf_dir):
+    """The raw LSH keys: (conv_id, band_id, sig_hi, sig_lo) for every
+    assembled conversation — the engine's full signature chain
+    (xxhash64 tokens -> rolling-poly shingles -> 112-permutation
+    multiply-shift MinHash -> 14 poly+mix band sigs). The oracle
+    recomputes every 64-bit value in DuckDB SQL (oracle_sql.py), so
+    this hash-match anchors H1-H5 end-to-end from the parquet text.
+    Ref math: /root/reference/src/main.rs:642-693 (perms), 664-677
+    (multiply-shift), 537-543 (band sig)."""
     from minhash_rs_spark.functions.udfs import band_signature_rows, shingle_sets
     from minhash_rs_spark.operators.doc_assembly import assemble_documents
 
@@ -500,6 +512,25 @@ def q_minhash_signatures(spark, sf_dir):
     docs = assemble_documents(turns)
     sh = shingle_sets(docs, MinHashConfig())
     return band_signature_rows(sh, MinHashConfig())
+
+
+def q_simhash_signatures(spark, sf_dir):
+    """The SimHash kernel value-for-value (VERDICT r5 #3): 64-bit
+    per-bit majority vote over the doc's shingle hashes
+    (functions/udfs.with_simhash — unpackbits + reduceat votes, ties
+    set the bit). The oracle replays the vote in SQL over the same
+    DuckDB-recomputed shingle hashes."""
+    from minhash_rs_spark.functions.udfs import shingle_sets, with_simhash
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.coalesce("text", F.lit("")).alias("doc_text"))
+    sh = shingle_sets(docs, MinHashConfig())
+    sig = with_simhash(sh.select("conv_id", "n_shingles", "shingles"),
+                       "shingles", "simhash")
+    return sig.select(F.col("conv_id").cast("long").alias("doc_id"),
+                      F.col("n_shingles").cast("long").alias("n_shingles"),
+                      "simhash")
 
 
 def q_minhash_clusters(spark, sf_dir):
@@ -632,13 +663,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "streaming_exact_dedup": q_streaming_exact_dedup,
+        # signature-kernel queries: hash-matched since round 6 via the
+        # oracle_sql.py DuckDB integer-kernel twins
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_signatures": q_simhash_signatures,
+        "minhash_clusters": q_minhash_clusters,
+        "simhash_clusters": q_simhash_clusters,
         # non-SQL-expressible: rows-only checks
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "streaming_band_dedup": q_streaming_band_dedup,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_clusters": q_minhash_clusters,
         "minhash_clusters_verified": q_minhash_clusters_verified,
-        "simhash_clusters": q_simhash_clusters,
         "true_jaccard_pairs": q_true_jaccard_pairs,
         "media_features": q_media_features,
         "events_hourly": q_events_hourly,
@@ -686,6 +720,79 @@ def _lang_sql() -> str:
         SELECT doc_id, {case} AS lang_guess, hits_en, hits_de, hits_fr, hits_es
         FROM (SELECT doc_id, {hits} FROM documents)
     """
+
+
+def _sig_chain_ctes() -> str:
+    """Shared oracle CTE chain: docs_o(did, dt) -> per-doc DISTINCT
+    shingle rows `shd(did, sv)` and per-permutation minima `mins` —
+    the DuckDB twin of the engine's signature kernel (oracle_sql.py:
+    words tokenize -> xxhash64 -> rolling-poly n=5 + mix64 with
+    short-doc fallback -> DISTINCT -> u128 halves -> 112 top-64
+    multiply-shift minima). Callers prepend a docs_o definition and
+    append band/simhash/cluster selects."""
+    hhi, hlo = OSQL.shingle_u128_exprs("sv")
+    mins = ",\n           ".join(OSQL.perm_min_exprs(0, 14, 8))
+    return f"""
+            toks AS (SELECT did, {OSQL.tokens_expr('dt')} AS t FROM docs_o),
+            tw AS (SELECT did, CAST(u.i AS BIGINT) AS tpos,
+                          t[CAST(u.i AS INTEGER)] AS w
+                   FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+            {OSQL.xxh64_ctes('tw', 'did, tpos', 'w').lstrip()},
+            thl0 AS (SELECT did, list(h ORDER BY tpos) AS th
+                     FROM xh GROUP BY did),
+            thl AS (SELECT d.did, coalesce(t.th, []) AS th
+                    FROM docs_o d LEFT JOIN thl0 t USING (did)),
+            shl AS (SELECT did, {OSQL.shingle_list('th', 5)} AS s FROM thl),
+            shd AS MATERIALIZED (
+                    SELECT DISTINCT did, CAST(u.sv AS UBIGINT) AS sv
+                    FROM shl, UNNEST(s) AS u(sv)),
+            hu AS (SELECT did, {hhi} AS hhi, {hlo} AS hlo FROM shd),
+            mins AS MATERIALIZED (
+                    SELECT did, {mins} FROM hu GROUP BY did)"""
+
+
+_SYNTH_DOCS_O = """
+            docs_o AS (
+              SELECT conv_id AS did,
+                     string_agg(text, chr(10) ORDER BY turn_idx) AS dt
+              FROM syn GROUP BY conv_id)"""
+
+
+def _cc_parts(edges_cte: str) -> str:
+    """CTEs for recursive min-label CC over a directed edge CTE
+    `{edges_cte}(src, dst)` and node set docs_o(did), ending at
+    asg(did, cc): cc = min member (VARCHAR order — conv_ids are strings
+    in the engine), singletons self-labeled."""
+    return f"""
+            sym AS MATERIALIZED (
+                    SELECT src, dst FROM {edges_cte}
+                    UNION SELECT dst, src FROM {edges_cte}),
+            nodes AS (SELECT DISTINCT src AS id FROM sym),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, sym.dst FROM reach
+                JOIN sym ON reach.r = sym.src),
+            lbl AS (SELECT id, min(r) AS cc FROM reach GROUP BY id),
+            asg AS MATERIALIZED (
+                    SELECT d.did, coalesce(l.cc, d.did) AS cc
+                    FROM docs_o d LEFT JOIN lbl l ON l.id = d.did)"""
+
+
+def _cc_assign_sql(edges_cte: str) -> str:
+    """_cc_parts + the cluster_assignments output contract: cc_size by
+    count, cc_idx = row_number within component ordered by did (the
+    engine's window / distributed two-phase ordinal,
+    operators/annotate.py)."""
+    return f"""
+            {_cc_parts(edges_cte)}
+            SELECT CAST(did AS BIGINT) AS doc_id,
+                   CAST(cc AS BIGINT) AS cc_id,
+                   CAST(count(*) OVER (PARTITION BY cc) AS BIGINT)
+                     AS cc_size,
+                   CAST(row_number() OVER (PARTITION BY cc ORDER BY did)
+                        - 1 AS BIGINT) AS cc_idx
+            FROM asg"""
 
 
 def _stride_pairs_sql() -> str:
@@ -891,6 +998,106 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c
             LEFT JOIN totals t USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "minhash_signatures": f"""
+            WITH syn AS ({_SYNTH_TURNS_SQL}),
+            {_SYNTH_DOCS_O},
+            {_sig_chain_ctes()}
+            SELECT did AS conv_id, band_id, sig_hi, sig_lo
+            FROM ({OSQL.band_sig_select(14, 8, key='did')})
+        """,
+        "simhash_signatures": f"""
+            WITH docs_o AS (SELECT doc_id AS did, coalesce(text, '') AS dt
+                            FROM documents),
+            {_sig_chain_ctes()}
+            SELECT did AS doc_id, n_shingles, simhash
+            FROM ({OSQL.simhash_select('shd', key='did')})
+        """,
+        "simhash_clusters": f"""
+            WITH RECURSIVE syn AS ({_SYNTH_TURNS_SQL}),
+            {_SYNTH_DOCS_O},
+            {_sig_chain_ctes()},
+            sims AS MATERIALIZED ({OSQL.simhash_select('shd', key='did')}),
+            e AS (SELECT a.did AS src, b.did AS dst
+                  FROM sims a JOIN sims b
+                    ON a.did < b.did
+                   AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+            {_cc_assign_sql('e')}
+        """,
+        "minhash_clusters": f"""
+            WITH RECURSIVE syn AS ({_SYNTH_TURNS_SQL}),
+            {_SYNTH_DOCS_O},
+            {_sig_chain_ctes()},
+            bands AS MATERIALIZED ({OSQL.band_sig_select(14, 8, key='did')}),
+            grp AS (SELECT band_id, sig_hi, sig_lo,
+                           min(did) AS rep, count(*) AS cnt
+                    FROM bands GROUP BY 1, 2, 3),
+            e AS MATERIALIZED (SELECT b.did AS src, g.rep AS dst
+                  FROM bands b
+                  JOIN grp g USING (band_id, sig_hi, sig_lo)
+                  WHERE g.cnt > 1 AND b.did <> g.rep),
+            {_cc_assign_sql('e')}
+        """,
+        "minhash_clusters_verified": f"""
+            WITH RECURSIVE syn AS ({_SYNTH_TURNS_SQL}),
+            {_SYNTH_DOCS_O},
+            {_sig_chain_ctes()},
+            bands AS MATERIALIZED ({OSQL.band_sig_select(14, 8, key='did')}),
+            cand AS MATERIALIZED (
+                     SELECT DISTINCT b1.did AS src, b2.did AS dst
+                     FROM bands b1
+                     JOIN bands b2 USING (band_id, sig_hi, sig_lo)
+                     WHERE b1.did < b2.did),
+            cnts AS MATERIALIZED (SELECT did, count(*) AS n FROM shd GROUP BY did),
+            ints AS MATERIALIZED (
+                     SELECT s1.did AS src, s2.did AS dst,
+                            count(*) AS ni
+                     FROM shd s1 JOIN shd s2 ON s1.sv = s2.sv
+                                            AND s1.did < s2.did
+                     GROUP BY 1, 2),
+            e AS MATERIALIZED (SELECT c.src, c.dst
+                  FROM cand c
+                  JOIN cnts ca ON ca.did = c.src
+                  JOIN cnts cb ON cb.did = c.dst
+                  JOIN ints i ON i.src = c.src AND i.dst = c.dst
+                  WHERE CAST(i.ni AS DOUBLE)
+                        / (ca.n + cb.n - i.ni) >= 0.8),
+            {_cc_assign_sql('e')}
+        """,
+        "true_jaccard_pairs": f"""
+            WITH RECURSIVE syn AS ({_SYNTH_TURNS_SQL}),
+            {_SYNTH_DOCS_O},
+            {_sig_chain_ctes()},
+            bands AS MATERIALIZED ({OSQL.band_sig_select(14, 8, key='did')}),
+            grp AS (SELECT band_id, sig_hi, sig_lo,
+                           min(did) AS rep, count(*) AS cnt
+                    FROM bands GROUP BY 1, 2, 3),
+            e AS MATERIALIZED (SELECT b.did AS src, g.rep AS dst
+                  FROM bands b
+                  JOIN grp g USING (band_id, sig_hi, sig_lo)
+                  WHERE g.cnt > 1 AND b.did <> g.rep),
+            {_cc_parts('e')},
+            m AS MATERIALIZED (SELECT did, cc FROM asg
+                  WHERE cc IN (SELECT cc FROM asg
+                               GROUP BY cc HAVING count(*) > 1)),
+            cnts AS MATERIALIZED (SELECT did, count(*) AS n FROM shd GROUP BY did),
+            prs AS (SELECT x.cc, x.did AS da, y.did AS db
+                    FROM m x JOIN m y ON x.cc = y.cc AND x.did < y.did),
+            ints AS MATERIALIZED (
+                     SELECT s1.did AS da, s2.did AS db, count(*) AS ni
+                     FROM shd s1 JOIN shd s2 ON s1.sv = s2.sv
+                                            AND s1.did < s2.did
+                     GROUP BY 1, 2)
+            SELECT CAST(p.cc AS BIGINT) AS cc_id,
+                   CAST(p.da AS BIGINT) AS conv_id_a,
+                   CAST(p.db AS BIGINT) AS conv_id_b,
+                   round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+                         / (ca.n + cb.n - coalesce(i.ni, 0)), 6)
+                     AS jaccard_r
+            FROM prs p
+            JOIN cnts ca ON ca.did = p.da
+            JOIN cnts cb ON cb.did = p.db
+            LEFT JOIN ints i ON i.da = p.da AND i.db = p.db
         """,
         "shingle_jaccard_pairs": _stride_pairs_sql(),
         "cc_stride_clusters": f"""

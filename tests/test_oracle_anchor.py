@@ -87,3 +87,45 @@ def test_cc_stride_clusters_matches_duckdb_oracle(spark, entry):
     # sizes — the anchor is only meaningful on a rich graph
     assert got["cc_id"].nunique() > 20
     assert got["cc_size"].max() >= 10
+
+
+def test_minhash_clusters_matches_duckdb_oracle(spark, entry):
+    """Round-6 promotion: the FLAGSHIP query (full MinHash fuzzy-dedup
+    clustering — xxhash64 tokens -> rolling-poly shingles -> 112-perm
+    multiply-shift -> band buckets -> iterative star CC -> assignments
+    with cc_size/cc_idx) hash-matches a DuckDB oracle that recomputes
+    every 64-bit signature value via oracle_sql.py's UHUGEINT twins and
+    clusters with a recursive min-label CTE. Unverified-path CC closure
+    is edge-shape-invariant (any bucket co-membership unions the
+    bucket), so engine and oracle are EXACTLY equal, not just
+    empirically so."""
+    if not Path(SF_DIR, "documents.parquet").exists():
+        pytest.skip("testdata not present")
+    got = entry.queries()["minhash_clusters"](spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    want = con.execute(entry.oracle_sql()["minhash_clusters"]).df()
+    g, w = _norm(got), _norm(want)
+    assert list(g.columns) == list(w.columns)
+    assert len(g) == len(w) and len(g) > 100
+    assert (g.values == w.values).all()
+    # the anchor is only meaningful if clustering actually happened
+    assert (got["cc_size"] > 1).any()
+
+
+def test_simhash_signatures_match_duckdb_oracle(spark, entry):
+    """SimHash kernel value-for-value (VERDICT r5 #3): bit votes over
+    DuckDB-recomputed shingle hashes == udfs.with_simhash."""
+    if not Path(SF_DIR, "documents.parquet").exists():
+        pytest.skip("testdata not present")
+    got = entry.queries()["simhash_signatures"](spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    want = con.execute(entry.oracle_sql()["simhash_signatures"]).df()
+    g, w = _norm(got), _norm(want)
+    assert list(g.columns) == list(w.columns)
+    assert len(g) == len(w) and len(g) > 100
+    assert (g.values == w.values).all()
+    assert got["simhash"].nunique() > 100  # non-degenerate signatures
