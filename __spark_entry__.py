@@ -257,6 +257,56 @@ def q_incremental_exact_dedup(spark, sf_dir):
                     "dup_of_old"))
 
 
+def q_incremental_band_dedup(spark, sf_dir):
+    """Incremental MinHash dedup, UNVERIFIED band-collision path
+    (operators/incremental.dup_against_corpus, VERDICT r5 #6): odd
+    doc_ids are the arriving batch, even doc_ids the checkpointed
+    history. History reduces to ONE algebraic row per (band, sig)
+    bucket; the batch joins bucket representatives — the exact
+    100 TB-guarding reduction this query hash-gates. Signatures are
+    REAL engine band sigs; the oracle recomputes them value-for-value
+    (oracle_sql.py) and replays the bucket min/count/join/groupBy."""
+    from minhash_rs_spark.functions.udfs import band_signature_rows, shingle_sets
+    from minhash_rs_spark.operators.incremental import dup_against_corpus
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.coalesce("text", F.lit("")).alias("doc_text"))
+    sigs = band_signature_rows(shingle_sets(docs, MinHashConfig()),
+                               MinHashConfig())
+    par = F.col("conv_id").cast("long") % 2
+    out = dup_against_corpus(sigs.where(par == 1), sigs.where(par == 0))
+    return out.select(F.col("conv_id").cast("long").alias("doc_id"),
+                      F.col("matched_old").cast("long").alias("matched_old"),
+                      F.col("n_band_hits").cast("long").alias("n_band_hits"))
+
+
+def q_incremental_minhash_dedup(spark, sf_dir):
+    """Incremental MinHash dedup, VERIFIED path: capped old-side bucket
+    members (global old_cap smallest ids via the salt-local two-phase),
+    exact length-ratio prefilter, batch-vectorized exact Jaccard, best
+    match = max jaccard (ties: min old id). The oracle replays the cap
+    with a row_number window, the Jaccard from the recomputed shingle
+    sets, and the best-match election — anchoring the verified
+    incremental semantics end-to-end (VERDICT r5 #6 extension)."""
+    from minhash_rs_spark.functions.udfs import band_signature_rows, shingle_sets
+    from minhash_rs_spark.operators.incremental import dup_against_corpus
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.coalesce("text", F.lit("")).alias("doc_text"))
+    sh = shingle_sets(docs, MinHashConfig())
+    sigs = band_signature_rows(sh, MinHashConfig())
+    par = F.col("conv_id").cast("long") % 2
+    out = dup_against_corpus(sigs.where(par == 1), sigs.where(par == 0),
+                             sh.where(par == 1), sh.where(par == 0),
+                             threshold=0.5, old_cap=8)
+    return out.select(F.col("conv_id").cast("long").alias("doc_id"),
+                      F.col("matched_old").cast("long").alias("matched_old"),
+                      F.col("n_band_hits").cast("long").alias("n_band_hits"),
+                      F.round("jaccard", 6).alias("jaccard_r"))
+
+
 def q_decontam_ngram(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.py): every 20th
     document plays the eval/benchmark set; the remaining corpus docs are
@@ -656,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "decontam_ngram": q_decontam_ngram,
         "incremental_exact_dedup": q_incremental_exact_dedup,
+        "incremental_band_dedup": q_incremental_band_dedup,
+        "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "cc_stride_clusters": q_cc_stride_clusters,
         "bpe_token_count": q_bpe_token_count,
@@ -998,6 +1050,70 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c
             LEFT JOIN totals t USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "incremental_band_dedup": f"""
+            WITH docs_o AS (SELECT CAST(doc_id AS VARCHAR) AS did,
+                                   coalesce(text, '') AS dt
+                            FROM documents),
+            {_sig_chain_ctes()},
+            bands AS MATERIALIZED ({OSQL.band_sig_select(14, 8, key='did')}),
+            old_b AS (SELECT band_id, sig_hi, sig_lo, min(did) AS rep
+                      FROM bands WHERE CAST(did AS BIGINT) % 2 = 0
+                      GROUP BY 1, 2, 3),
+            hits AS (SELECT b.did, o.rep
+                     FROM bands b
+                     JOIN old_b o USING (band_id, sig_hi, sig_lo)
+                     WHERE CAST(b.did AS BIGINT) % 2 = 1)
+            SELECT CAST(did AS BIGINT) AS doc_id,
+                   CAST(min(rep) AS BIGINT) AS matched_old,
+                   CAST(count(*) AS BIGINT) AS n_band_hits
+            FROM hits GROUP BY did
+        """,
+        "incremental_minhash_dedup": f"""
+            WITH docs_o AS (SELECT CAST(doc_id AS VARCHAR) AS did,
+                                   coalesce(text, '') AS dt
+                            FROM documents),
+            {_sig_chain_ctes()},
+            bands AS MATERIALIZED ({OSQL.band_sig_select(14, 8, key='did')}),
+            old_mem AS (SELECT band_id, sig_hi, sig_lo, did FROM (
+                          SELECT band_id, sig_hi, sig_lo, did,
+                                 row_number() OVER (
+                                   PARTITION BY band_id, sig_hi, sig_lo
+                                   ORDER BY did) AS rn
+                          FROM bands WHERE CAST(did AS BIGINT) % 2 = 0)
+                        WHERE rn <= 8),
+            cand AS MATERIALIZED (
+                     SELECT b.did AS src, m.did AS dst, count(*) AS nbh
+                     FROM bands b
+                     JOIN old_mem m USING (band_id, sig_hi, sig_lo)
+                     WHERE CAST(b.did AS BIGINT) % 2 = 1
+                     GROUP BY 1, 2),
+            cnts AS MATERIALIZED (SELECT did, count(*) AS n
+                                  FROM shd GROUP BY did),
+            ints AS MATERIALIZED (
+                     SELECT c.src, c.dst, count(*) AS ni
+                     FROM cand c
+                     JOIN shd s1 ON s1.did = c.src
+                     JOIN shd s2 ON s2.did = c.dst AND s2.sv = s1.sv
+                     GROUP BY 1, 2),
+            qual AS (SELECT * FROM (
+                       SELECT c.src, c.dst, c.nbh,
+                              CAST(coalesce(i.ni, 0) AS DOUBLE)
+                              / (ca.n + cb.n - coalesce(i.ni, 0)) AS j
+                       FROM cand c
+                       JOIN cnts ca ON ca.did = c.src
+                       JOIN cnts cb ON cb.did = c.dst
+                       LEFT JOIN ints i ON i.src = c.src
+                                       AND i.dst = c.dst)
+                     WHERE j >= 0.5),
+            best AS (SELECT src, dst, nbh, j, row_number() OVER (
+                       PARTITION BY src ORDER BY j DESC, dst) AS rn
+                     FROM qual)
+            SELECT CAST(src AS BIGINT) AS doc_id,
+                   CAST(dst AS BIGINT) AS matched_old,
+                   CAST(nbh AS BIGINT) AS n_band_hits,
+                   round(j, 6) AS jaccard_r
+            FROM best WHERE rn = 1
         """,
         "minhash_signatures": f"""
             WITH syn AS ({_SYNTH_TURNS_SQL}),
