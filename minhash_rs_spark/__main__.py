@@ -15,6 +15,10 @@ Commands (reference analog):
                        production shape; operators/incremental.py)
   decontam             flag docs sharing word k-grams with a benchmark
                        set (operators/decontam.py)
+  compact              union a chain of incremental checkpoints into
+                       ONE committed history table (operators/
+                       incremental.compact_history) so day-N's old
+                       side reads a single table
 
 The YAML config keys are the reference's (num_bands, band_size,
 ngram_size, tokenizer_str, hash_seed, content_key, annotate_only,
@@ -50,7 +54,8 @@ def main(argv=None):
         # src/main.rs:1725-1756) — each materializes the pipeline up to
         # its checkpoint stage; later invocations resume from there
         "build-file-map", "hash-only", "gather-edges", "build-uf",
-        "uf-size-prune", "annotate", "incremental", "decontam"])
+        "uf-size-prune", "annotate", "incremental", "decontam",
+        "compact"])
     p.add_argument("--config", help="reference-style YAML (or JSON) config")
     p.add_argument("--input", required=True,
                    help="parquet path of the transcripts table")
@@ -67,8 +72,11 @@ def main(argv=None):
     p.add_argument("--subsample-rate", type=float, default=None)
     p.add_argument("--max-cc-size", type=int, default=None)
     p.add_argument("--jaccard-threshold", type=float, default=None)
+    p.add_argument("--out-token", default=None,
+                   help="compact only: token to commit the unioned "
+                        "history under")
     p.add_argument("--base-token", action="append", default=None,
-                   help="incremental only (repeatable): input_token of "
+                   help="incremental/compact (repeatable): input_token of "
                         "a prior run whose committed sigs/shingles form "
                         "history")
     p.add_argument("--batch-token", default=None,
@@ -106,7 +114,9 @@ def main(argv=None):
         cfg = replace(cfg, **overrides)
 
     spark = get_spark(f"minhash-rs-spark:{args.command}", master=args.master)
-    turns = spark.read.parquet(args.input)
+    # compact operates purely on committed checkpoints; --input is unused
+    turns = (spark.read.parquet(args.input)
+             if args.command != "compact" else None)
 
     from minhash_rs_spark.pipeline import run_exact_dedup, run_minhash
 
@@ -188,6 +198,17 @@ def main(argv=None):
             base_token=args.base_token)
         res.output.write.mode("overwrite").parquet(args.output)
         print(json.dumps(res.collect_stats(turns, cfg.conv_col)))
+    elif args.command == "compact":
+        from minhash_rs_spark.operators.incremental import compact_history
+
+        if not cfg.checkpoint_dir:
+            raise SystemExit("compact requires --checkpoint-dir")
+        if not args.base_token or not args.out_token:
+            raise SystemExit("compact requires >= 1 --base-token and "
+                             "--out-token")
+        tok = compact_history(spark, cfg, args.base_token, args.out_token)
+        print(json.dumps({"compacted": args.base_token, "out_token": tok,
+                          "checkpoint": cfg.checkpoint_dir}))
     elif args.command == "decontam":
         from pyspark.sql import functions as F
 

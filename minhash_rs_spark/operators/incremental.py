@@ -216,6 +216,51 @@ def incremental_minhash(spark: SparkSession, new_turns: DataFrame,
     return IncrementalResult(matches=matches, output=output, config=cfg)
 
 
+def compact_history(spark: SparkSession, cfg: MinHashConfig,
+                    tokens: list[str], out_token: str) -> str:
+    """Compact an append-chain's history: union the committed `sigs`
+    (and, for verified configs, `shingles`) tables of `tokens` into ONE
+    checkpoint committed under `out_token`, and return `out_token`.
+
+    Day-365 of an incremental chain otherwise unions 365 sig tables
+    into the old side of every join (incremental_minhash base_token
+    list) — correct, but each day adds a scan + union branch to the
+    plan. After compaction the old side is a single committed table:
+    `incremental_minhash(..., base_token=out_token)` reads one parquet
+    directory no matter how long the chain was. Re-running with the
+    same out_token resumes from the committed compaction (ordinary
+    checkpoint semantics); the input tables are left untouched, so
+    compaction is safe to run concurrently with readers of the old
+    tokens.
+    """
+    from functools import reduce
+
+    from minhash_rs_spark.io.checkpoint import CheckpointManager
+    from minhash_rs_spark.pipeline import config_fingerprint
+
+    if cfg.checkpoint_dir is None:
+        raise ValueError("compact_history requires cfg.checkpoint_dir")
+    if not tokens:
+        raise ValueError("compact_history needs at least one input token")
+    ckpts = [CheckpointManager(spark, cfg.checkpoint_dir,
+                               config_fingerprint(cfg, t))
+             for t in tokens]
+    out = CheckpointManager(spark, cfg.checkpoint_dir,
+                            config_fingerprint(cfg, out_token))
+    sigs = reduce(DataFrame.unionByName, [c.table("sigs") for c in ckpts])
+    out.stage("sigs", lambda: sigs)
+    if all(c.committed("shingles") for c in ckpts):
+        sh = reduce(DataFrame.unionByName,
+                    [c.table("shingles") for c in ckpts])
+        out.stage("shingles", lambda: sh)
+    elif cfg.jaccard_threshold is not None:
+        raise ValueError(
+            "verified config but some input tokens have no committed "
+            "shingles stage — compact from tokens that ran upto='sigs' "
+            "with the same verified config")
+    return out_token
+
+
 def exact_dup_against(new_docs: DataFrame, old_docs: DataFrame,
                       id_col: str = "conv_id",
                       text_col: str = "doc_text") -> DataFrame:

@@ -152,3 +152,36 @@ def test_cli_incremental_and_decontam(turns_parquet, tmp_path, spark):
     stats = json.loads([ln for ln in p.stdout.splitlines()
                         if ln.startswith("{")][-1])
     assert stats == {"docs": 2, "contaminated": 1}
+
+
+def test_cli_compact(turns_parquet, tmp_path):
+    """`compact` unions a chain of committed checkpoints into one
+    history token that `incremental` can then read as a single table."""
+    ck = tmp_path / "ck"
+    p = _run_cli("min-hash", "--input", turns_parquet,
+                 "--output", str(tmp_path / "o1"),
+                 "--checkpoint-dir", str(ck))
+    assert p.returncode == 0, p.stderr[-2000:]
+    p = _run_cli("incremental", "--input", turns_parquet,
+                 "--output", str(tmp_path / "o2"),
+                 "--checkpoint-dir", str(ck),
+                 "--base-token", turns_parquet, "--batch-token", "day1")
+    assert p.returncode == 0, p.stderr[-2000:]
+    p = _run_cli("compact", "--input", turns_parquet,
+                 "--output", str(tmp_path / "o3"),
+                 "--checkpoint-dir", str(ck),
+                 "--base-token", turns_parquet, "--base-token", "day1",
+                 "--out-token", "hist")
+    assert p.returncode == 0, p.stderr[-2000:]
+    out = json.loads([ln for ln in p.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert out["out_token"] == "hist"
+    # day2 against the compacted history alone: everything still dups
+    p = _run_cli("incremental", "--input", turns_parquet,
+                 "--output", str(tmp_path / "o4"),
+                 "--checkpoint-dir", str(ck),
+                 "--base-token", "hist", "--batch-token", "day2")
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["removal_rate"] == 1.0

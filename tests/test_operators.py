@@ -1234,3 +1234,86 @@ def test_dup_against_corpus_megabucket_cap(spark):
         assert got[0]["conv_id"] == "n1"
         assert got[0]["matched_old"] == "o000"   # global min, any cap
         assert got[0]["jaccard"] == 1.0
+
+
+def test_compact_history_equals_union(spark, tmp_path):
+    """VERDICT r5 #5: a 10-generation incremental chain compacted into
+    one checkpoint produces IDENTICAL matches to the uncompacted
+    10-token union, and the compacted old side reads far fewer parquet
+    locations (one sigs + one shingles table instead of ten of each)."""
+    from minhash_rs_spark.operators.incremental import (
+        compact_history,
+        incremental_minhash,
+    )
+    from minhash_rs_spark.pipeline import run_minhash
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango").split()
+    docs = [(f"g{g}", " ".join(f"{words[i % 20]}{g * 7 + i}"
+                               for i in range(30)))
+            for g in range(10)]
+    cfg = MinHashConfig(checkpoint_dir=str(tmp_path / "ck"),
+                        jaccard_threshold=0.5, annotate_only=False)
+    base = spark.createDataFrame(_one_turn_rows([docs[0]]),
+                                 ["conv_id", "turn_idx", "text"])
+    run_minhash(spark, base, cfg, input_token="gen0").assignments.count()
+    tokens = ["gen0"]
+    for g in range(1, 10):
+        turns = spark.createDataFrame(_one_turn_rows([docs[g]]),
+                                      ["conv_id", "turn_idx", "text"])
+        incremental_minhash(spark, turns, cfg, batch_token=f"gen{g}",
+                            base_token=list(tokens)).matches.count()
+        tokens.append(f"gen{g}")
+
+    assert compact_history(spark, cfg, tokens, "hist10") == "hist10"
+
+    # probe: near-dups of generations 3 and 8 + one fresh doc
+    probe = spark.createDataFrame(
+        _one_turn_rows([("p3", docs[3][1] + " tail3"),
+                        ("p8", docs[8][1] + " tail8"),
+                        ("pF", "completely fresh probe words that share "
+                               "no five gram window with any history "
+                               "document in this chain at all")]),
+        ["conv_id", "turn_idx", "text"])
+    r_list = incremental_minhash(spark, probe, cfg, batch_token="probeL",
+                                 base_token=list(tokens))
+    r_comp = incremental_minhash(spark, probe, cfg, batch_token="probeC",
+                                 base_token="hist10")
+    m_list = sorted(map(tuple, r_list.matches.collect()))
+    m_comp = sorted(map(tuple, r_comp.matches.collect()))
+    assert m_comp == m_list
+    assert {r[0] for r in m_comp} == {"p3", "p8"}
+    assert {r["conv_id"] for r in r_comp.output.collect()} == {"pF"}
+
+    # plan shape: after compaction the old side reads ONLY the
+    # compacted checkpoint — no generation table appears in the plan
+    # (the <=1-table-after-compaction guarantee, PLANS.md check)
+    from minhash_rs_spark.pipeline import config_fingerprint
+
+    files_comp = set(r_comp.matches.inputFiles())
+    fp_hist = config_fingerprint(cfg, "hist10")
+    fp_probe = config_fingerprint(cfg, "probeC")
+    assert any(fp_hist in f for f in files_comp)
+    assert all(fp_hist in f or fp_probe in f for f in files_comp)
+    for t in tokens:
+        assert not any(config_fingerprint(cfg, t) in f for f in files_comp)
+    # and the union form reads every generation's tables
+    files_list = set(r_list.matches.inputFiles())
+    assert sum(any(config_fingerprint(cfg, t) in f for f in files_list)
+               for t in tokens) == len(tokens)
+
+    # resume: re-running the compaction is a no-op read of the same
+    # committed tables, not a recompute
+    assert compact_history(spark, cfg, tokens, "hist10") == "hist10"
+    # guard: a verified config refuses to compact history whose
+    # shingles table is gone (deleted table must fail loudly, not
+    # produce a sigs-only compaction that later joins lose rows on)
+    import shutil
+
+    import pytest as _pt
+
+    shutil.rmtree(str(tmp_path / "ck" / config_fingerprint(cfg, "gen5")
+                      / "shingles"))
+    with _pt.raises(ValueError):
+        compact_history(spark, cfg, tokens, "hist_broken")
