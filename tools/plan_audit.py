@@ -309,6 +309,46 @@ def main():
                      p, ["pmod", "collect_set"]))
     checks.append(("incremental verified: old-side cap salt-local "
                    "(pmod salt feeds collect_set phase)", "pmod" in p))
+    # round 6: phase 1 is a rank-filter window (sort-based, spills)
+    # rather than a per-salt collect_set, so a degenerate bucket's
+    # phase-1 buffers are O(old_cap), not O(|bucket|/64)
+    checks.append(("incremental verified: phase-1 cap is a bounded "
+                   "rank filter (row_number before collect_set)",
+                   "row_number" in p))
+
+    # 22b. compacted incremental history: the old side of the join
+    # reads exactly ONE checkpoint — no generation table appears in
+    # the plan's input files (<=1-table-after-compaction guarantee,
+    # VERDICT r5 #5)
+    import tempfile
+
+    from minhash_rs_spark.config import MinHashConfig as _MC
+    from minhash_rs_spark.operators.incremental import (
+        compact_history,
+        incremental_minhash,
+    )
+    from minhash_rs_spark.pipeline import config_fingerprint, run_minhash
+
+    _ckd = tempfile.mkdtemp(prefix="plan_audit_ck_")
+    cfg_c = _MC(checkpoint_dir=_ckd, annotate_only=False)
+    t1 = spark.createDataFrame(
+        [("a", 0, "alpha bravo charlie delta echo foxtrot golf")],
+        "conv_id string, turn_idx int, text string")
+    t2 = spark.createDataFrame(
+        [("b", 0, "hotel india juliet kilo lima mike november")],
+        "conv_id string, turn_idx int, text string")
+    run_minhash(spark, t1, cfg_c, input_token="d1", upto="sigs")
+    run_minhash(spark, t2, cfg_c, input_token="d2", upto="sigs")
+    compact_history(spark, cfg_c, ["d1", "d2"], "hist")
+    inc = incremental_minhash(spark, t1, cfg_c, batch_token="probe",
+                              base_token="hist")
+    files = set(inc.matches.inputFiles())
+    gen_fps = {config_fingerprint(cfg_c, t) for t in ("d1", "d2")}
+    checks.append(("compacted history: incremental old side reads ONLY "
+                   "the compacted checkpoint (<=1 table)",
+                   any(config_fingerprint(cfg_c, "hist") in f
+                       for f in files)
+                   and not any(fp in f for f in files for fp in gen_fps)))
 
     md = ["# PLANS — physical plan audit (local, AQE on)\n",
           "Generated by tools/plan_audit.py. Checks:\n"]
