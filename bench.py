@@ -167,10 +167,16 @@ def main():
     # without the distributed plan's ~0.5-1 s of fixed stage barriers.
     # Scaling corpora (>2M turns) exceed the bound and keep the
     # scale-safe distributed plan, exactly as at 100 TB.
+    # SPARK_GRAFT_NO_DOCS_HINT=1: A/B hook — time the unhinted
+    # (distributed cc_idx) flagship to isolate the fast path's saving.
+    if os.environ.get("SPARK_GRAFT_NO_DOCS_HINT") == "1":
+        n_big_hint = None
+    else:
+        n_big_hint = n_big
     for i in range(warmups):
         t0 = time.time()
         run_minhash(spark, big_turns, MinHashConfig(),
-                    n_docs_hint=n_big).assignments.count()
+                    n_docs_hint=n_big_hint).assignments.count()
         warmup_walls.append(round(time.time() - t0, 3))
         print(f"# flagship warmup {i}: {warmup_walls[-1]:.1f}s",
               file=sys.stderr)
@@ -179,7 +185,7 @@ def main():
     for _ in range(timed_runs):
         cpu0, t0 = tree_cpu_seconds(), time.time()
         res = run_minhash(spark, big_turns, MinHashConfig(),
-                          n_docs_hint=n_big)
+                          n_docs_hint=n_big_hint)
         n_asg = res.assignments.count()
         flagship_walls.append(round(time.time() - t0, 3))
         flagship_cpus.append(round(tree_cpu_seconds() - cpu0, 1))
