@@ -180,15 +180,38 @@ def main():
         warmup_walls.append(round(time.time() - t0, 3))
         print(f"# flagship warmup {i}: {warmup_walls[-1]:.1f}s",
               file=sys.stderr)
+    # timed flagship attempts: the start gate can't see a MID-RUN band
+    # collapse (observed: 2.14 GB/s at start, 0.02 after — the suite
+    # ran 2x slow). Each attempt is stamped with its end-of-attempt
+    # alloc probe; an attempt whose window collapsed below half the
+    # gate is retried (up to SPARK_GRAFT_FLAGSHIP_ATTEMPTS, default 3)
+    # after re-entering a healthy band. The LAST valid attempt is the
+    # record; every attempt stays in the JSON so a reader can audit.
+    min_gbs = float(os.environ.get("SPARK_GRAFT_BAND_MIN_GBS", "1.9"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_ATTEMPTS", "3"))
+    attempts = []
     flagship_walls, flagship_cpus = [], []
     n_asg = 0
-    for _ in range(timed_runs):
-        cpu0, t0 = tree_cpu_seconds(), time.time()
-        res = run_minhash(spark, big_turns, MinHashConfig(),
-                          n_docs_hint=n_big_hint)
-        n_asg = res.assignments.count()
-        flagship_walls.append(round(time.time() - t0, 3))
-        flagship_cpus.append(round(tree_cpu_seconds() - cpu0, 1))
+    for attempt in range(max_attempts):
+        walls, cpus_l = [], []
+        for _ in range(timed_runs):
+            cpu0, t0 = tree_cpu_seconds(), time.time()
+            res = run_minhash(spark, big_turns, MinHashConfig(),
+                              n_docs_hint=n_big_hint)
+            n_asg = res.assignments.count()
+            walls.append(round(time.time() - t0, 3))
+            cpus_l.append(round(tree_cpu_seconds() - cpu0, 1))
+        end_gbs = host_alloc_gbs()
+        valid = end_gbs >= min_gbs / 2
+        attempts.append({"walls": walls, "cpu": cpus_l,
+                         "end_alloc_gbs": end_gbs, "band_valid": valid})
+        print(f"# flagship attempt {attempt}: {walls} end_alloc "
+              f"{end_gbs} valid={valid}", file=sys.stderr)
+        flagship_walls, flagship_cpus = walls, cpus_l
+        if valid:
+            break
+        if attempt < max_attempts - 1:
+            wait_for_healthy_band(min_gbs, attempts=4, sleep_s=30.0)
     ranked = sorted(zip(flagship_walls, flagship_cpus))
     med, flagship_cpu = ranked[len(ranked) // 2]
     times["synthetic_flagship"] = med
@@ -248,8 +271,9 @@ def main():
         "turns_per_sec": round(n_big / flagship, 1) if flagship else None,
         "host_alloc_gbs": alloc_gbs,
         "host_alloc_gbs_after": host_alloc_gbs(),
-        "band_valid": band_valid,
+        "band_valid": band_valid and attempts[-1]["band_valid"],
         "band_probes": band_probes,
+        "flagship_attempts": attempts,
     }
     spark.stop()
     print(json.dumps(out))

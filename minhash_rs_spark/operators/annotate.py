@@ -147,7 +147,12 @@ def _cc_idx(out: DataFrame, idx_partitions: int | None = None,
     return (ranked.join(offsets, ["cc_id", "_pid"])
             .withColumn("cc_idx",
                         (F.col("_lrank") + F.col("_off")).cast("int"))
-            .drop("_pid", "_lrank", "_off"))
+            .drop("_pid", "_lrank", "_off")
+            # same COLUMN ORDER as the single-window path: the join on
+            # (cc_id, _pid) moves cc_id first, and a schema that depends
+            # on which plan ran breaks positional consumers (unionByName
+            # is safe, exceptAll/union are not)
+            .select(*out.columns, "cc_idx"))
 
 
 def annotate_turns(turns: DataFrame, assignments: DataFrame,

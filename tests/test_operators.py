@@ -1025,6 +1025,12 @@ def test_cc_idx_small_input_fast_path_identical(spark):
     key = lambda df: {(r["conv_id"], r["cc_id"], r["cc_size"], r["cc_idx"])
                       for r in df.collect()}
     assert key(fast) == key(dist)
+    # the CONTRACT includes column order: a schema that depends on
+    # which plan ran breaks positional consumers (exceptAll/union) —
+    # round-6 regression, the distributed join had moved cc_id first
+    assert fast.columns == dist.columns
+    assert fast.exceptAll(dist).count() == 0
+    assert dist.exceptAll(fast).count() == 0
     # the fast path plans a plain window, no RangePartitioning exchange
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
