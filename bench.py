@@ -236,14 +236,38 @@ def main():
         "embedding_lsh_topk",
         "doc_assembly_roundtrip",
     ]
+    # suite-level band protection: a query whose window COLLAPSED
+    # (end-of-query probe under half the gate) is re-measured once in a
+    # fresh healthy band — bounded by SPARK_GRAFT_SUITE_RETRIES total so
+    # a permanently-degraded host still terminates. Each query's
+    # end-probe is stamped in suite_end_gbs; retried queries list both
+    # measurements in suite_retried.
+    suite_retries = int(os.environ.get("SPARK_GRAFT_SUITE_RETRIES", "3"))
+    suite_end_gbs: dict[str, float] = {}
+    suite_retried: dict[str, list[float]] = {}
     for name in headline if not flagship_only else []:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
         # pipeline queries persist intermediates; drop them so successive
         # measurements (and the flagship below) run on a clean heap
         spark.catalog.clearCache()
+        g = host_alloc_gbs()
+        suite_end_gbs[name] = g
+        if g < min_gbs / 2 and suite_retries > 0:
+            suite_retries -= 1
+            print(f"# {name}: {times[name]}s but window collapsed "
+                  f"({g} GB/s) — retrying in a healthy band",
+                  file=sys.stderr)
+            wait_for_healthy_band(min_gbs, attempts=4, sleep_s=30.0)
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            retry_t = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            suite_retried[name] = [times[name], retry_t]
+            times[name] = retry_t
+            suite_end_gbs[name] = host_alloc_gbs()
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     flagship = times["synthetic_flagship"]
@@ -274,6 +298,8 @@ def main():
         "band_valid": band_valid and attempts[-1]["band_valid"],
         "band_probes": band_probes,
         "flagship_attempts": attempts,
+        "suite_end_gbs": suite_end_gbs,
+        "suite_retried": suite_retried,
     }
     spark.stop()
     print(json.dumps(out))
