@@ -426,6 +426,19 @@ def q_embedding_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (the task brief's inverted-file scale path):
+    deterministic coarse quantizer (embeddings of the 16 smallest ids;
+    production trains k-means — the search plumbing is what this
+    gates), argmax-cosine cell assignment, nprobe=4 probe-list scan,
+    exact-cosine re-rank. The oracle replays assignment, probe
+    selection, candidate scan, and ranking value-for-value."""
+    from minhash_rs_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), k=5, query_mod=50,
+                    n_cells=16, nprobe=4)
+
+
 def q_embedding_near_dup_pairs(spark, sf_dir):
     from minhash_rs_spark.operators.similarity import cosine_near_dup_pairs
 
@@ -713,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "streaming_exact_dedup": q_streaming_exact_dedup,
         # signature-kernel queries: hash-matched since round 6 via the
@@ -1284,6 +1298,41 @@ def oracle_sql() -> dict[str, str]:
                                 c.vec_id) AS rank
               FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
               WHERE q.vec_id % 50 = 0)
+            WHERE rank <= 5
+        """,
+        "embedding_ivf_topk": """
+            WITH cents AS (
+              SELECT vec_id AS cell_id, embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            asg AS MATERIALIZED (
+              SELECT vec_id, cell_id FROM (
+                SELECT e.vec_id, c.cell_id, row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, c.cv)
+                               DESC, c.cell_id) AS rn
+                FROM embeddings e, cents c)
+              WHERE rn = 1),
+            probes AS (
+              SELECT query_id, cell_id FROM (
+                SELECT q.vec_id AS query_id, c.cell_id, row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, c.cv)
+                               DESC, c.cell_id) AS rn
+                FROM embeddings q, cents c WHERE q.vec_id % 50 = 0)
+              WHERE rn <= 4)
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(
+                                  qe.embedding, ne.embedding) DESC,
+                                a.vec_id) AS rank
+              FROM probes p
+              JOIN asg a ON a.cell_id = p.cell_id
+              JOIN embeddings qe ON qe.vec_id = p.query_id
+              JOIN embeddings ne ON ne.vec_id = a.vec_id
+              WHERE a.vec_id != p.query_id)
             WHERE rank <= 5
         """,
         "embedding_near_dup_pairs": """

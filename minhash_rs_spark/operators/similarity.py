@@ -292,3 +292,91 @@ def ann_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 50,
               .select("query_id", "neighbor_id",
                       cosine_expr(F.col("qv"), F.col("cv")).alias("cos_sim")))
     return _ranked_topk(scored, k)
+
+
+# ---------------------------------------------------------------------
+# IVF-flat (inverted-file) ANN — the task brief's other scale path
+
+
+def ivf_cells(embeddings: DataFrame, n_cells: int = 16,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Coarse quantizer + inverted lists.
+
+    Centroids are the embeddings of the n_cells smallest ids — a FIXED
+    deterministic coarse quantizer (a production IVF trains k-means /
+    kmeans|| here; swapping the centroid source changes nothing else).
+    Deliberate: it keeps every downstream value reproducible in ANSI
+    SQL, so the driver's DuckDB oracle can hash-gate the whole IVF
+    search path (assignment, probe selection, candidate scan, ranking)
+    value-for-value — the same promotion stance as oracle_sql.py.
+
+    Returns (centroids(cell_id, cv), assignments(vec_id, cell_id)).
+    The centroid table is tiny and BROADCAST; assignment is one pass
+    over the embeddings (argmax cosine, ties to the smaller cell id) —
+    at 100 TB this is the classic scan + broadcast-argmax shape, no
+    shuffle of the big side at all.
+    """
+    cents = (embeddings.orderBy(id_col).limit(n_cells)
+             .select(F.col(id_col).alias("cell_id"),
+                     F.col(vec_col).alias("cv")))
+    scored = (embeddings.select(F.col(id_col), F.col(vec_col))
+              .crossJoin(F.broadcast(cents))
+              .select(id_col,
+                      "cell_id",
+                      cosine_expr(F.col(vec_col), F.col("cv"))
+                      .alias("_cs")))
+    asg = (scored.groupBy(id_col)
+           .agg(F.min_by("cell_id",
+                         F.struct((-F.col("_cs")).alias("_ncs"),
+                                  F.col("cell_id"))).alias("cell_id")))
+    return cents, asg
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 50,
+             n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat approximate top-k: queries (id % query_mod == 0) probe
+    their `nprobe` nearest cells and score exact cosine against ONLY
+    those cells' members. Output (query_id, neighbor_id, rank) —
+    identical shape to brute_force_topk, which is its recall oracle
+    (test_ivf_topk_recall).
+
+    Scale posture: candidates per query are bounded by the nprobe
+    largest inverted lists (~nprobe*N/n_cells in expectation) instead
+    of N; the centroid table is broadcast twice (assignment + probe
+    selection); the only shuffles are the argmax groupBys and the
+    final per-query top-k — no cartesian on the embedding side.
+    """
+    cents, asg = ivf_cells(embeddings, n_cells, id_col, vec_col)
+    q = (embeddings.where(F.pmod(F.col(id_col), F.lit(query_mod)) == 0)
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("qv")))
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col("cell_id"))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .select("query_id", "qv", "cell_id",
+                      cosine_expr(F.col("qv"), F.col("cv")).alias("_cs"))
+              .withColumn("_pr", F.row_number().over(probe_rank))
+              .where(F.col("_pr") <= nprobe)
+              .select("query_id", "qv", "cell_id"))
+    members = (asg.join(embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv2")),
+        asg[id_col] == F.col("neighbor_id"))
+        .select("cell_id", "neighbor_id", "cv2"))
+    scored = (probes.join(members, "cell_id")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              # a member can sit in several probed cells only if cells
+              # were duplicated — they aren't (one cell per vector) —
+              # so no dedup needed before ranking
+              .select("query_id", "neighbor_id",
+                      cosine_expr(F.col("qv"), F.col("cv2"))
+                      .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("rank")))

@@ -1323,3 +1323,49 @@ def test_compact_history_equals_union(spark, tmp_path):
                       / "shingles"))
     with _pt.raises(ValueError):
         compact_history(spark, cfg, tokens, "hist_broken")
+
+
+def test_ivf_topk_recall_and_partition(spark):
+    """IVF-flat: (a) on a corpus with planted near-identical twins,
+    @1 recall vs brute force stays high with nprobe=4/16 cells (twin
+    and query land in the same cell — their cosine-to-centroid
+    orderings are nearly identical); (b) the cell assignment is a
+    partition: every vector in exactly one cell; (c) nprobe = n_cells
+    degenerates to EXACT brute-force ranking."""
+    import numpy as np
+
+    from minhash_rs_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_cells,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(100):
+        v = rng.standard_normal(32).astype(np.float32)
+        rows.append((i * 2, [float(x) for x in v]))      # queries: even
+        nv = v + 0.05 * rng.standard_normal(32).astype(np.float32)
+        rows.append((i * 2 + 1, [float(x) for x in nv]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents, asg = ivf_cells(emb, n_cells=16)
+    assert cents.count() == 16
+    per_vec = asg.groupBy("vec_id").count().where("count != 1").count()
+    assert per_vec == 0 and asg.count() == 200  # exactly one cell each
+
+    bf = {r["query_id"]: r["neighbor_id"]
+          for r in brute_force_topk(emb, k=1, query_mod=2).collect()}
+    ivf = {r["query_id"]: r["neighbor_id"]
+           for r in ivf_topk(emb, k=1, query_mod=2,
+                             n_cells=16, nprobe=4).collect()}
+    hits = sum(1 for q, n in bf.items() if ivf.get(q) == n)
+    assert hits / len(bf) >= 0.95, f"ivf@1 {hits}/{len(bf)}"
+
+    # nprobe == n_cells scans everything -> must equal brute exactly
+    full = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_topk(emb, k=3, query_mod=2,
+                              n_cells=16, nprobe=16).collect()}
+    bf3 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in brute_force_topk(emb, k=3, query_mod=2).collect()}
+    assert full == bf3
