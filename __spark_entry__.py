@@ -177,6 +177,15 @@ def q_fingerprint(spark, sf_dir):
                       F.col("fp_len").cast("long").alias("fp_len"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signals (top-n-gram
+    coverage + duplicate-n-gram fraction, n=2..4) — pure per-row array
+    folds, zero shuffle; oracle replays via unnest+group+window argmax."""
+    from minhash_rs_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_doc_assembly_roundtrip(spark, sf_dir):
     """G1 gate: chunk documents into turns, reassemble with the engine's
     doc-assembly operator; oracle reassembles with string_agg ORDER BY."""
@@ -713,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": q_quality_stats,
         "lang_guess": q_lang_guess,
         "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
         "doc_assembly_roundtrip": q_doc_assembly_roundtrip,
         "containment_pairs": q_containment_pairs,
         "cc_size_histogram": q_cc_size_histogram,
@@ -861,6 +871,63 @@ def _cc_assign_sql(edges_cte: str) -> str:
             FROM asg"""
 
 
+def _repetition_sql(ns: tuple = (2, 3, 4)) -> str:
+    """Oracle twin of textstats.repetition_stats: word n-grams WITH
+    multiplicity; top gram = max count, ties broken by lexicographically
+    smallest gram (unnest + group + window argmax replays the engine's
+    sorted-array run-length fold); exact BIGINT micro-unit ratios via
+    `//`. CTEs MATERIALIZED — DuckDB 1.0 inlines references otherwise."""
+    ctes, cols = [], []
+    for n in ns:
+        ctes.append(f"""
+            g{n} AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN len(l) >= {n}
+                          THEN list_transform(
+                                 range(1, len(l) - {n - 2}),
+                                 i -> array_to_string(
+                                        list_slice(l, i, i + {n - 1}), ' '))
+                          ELSE [] END AS grams
+              FROM base),
+            t{n} AS MATERIALIZED (
+              SELECT doc_id, c AS cnt,
+                     CAST(length(gram) AS BIGINT) AS glen
+              FROM (SELECT doc_id, gram, c,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY c DESC, gram ASC) AS rn
+                    FROM (SELECT doc_id, gram, count(*) AS c
+                          FROM (SELECT doc_id, unnest(grams) AS gram
+                                FROM g{n})
+                          GROUP BY doc_id, gram))
+              WHERE rn = 1),
+            d{n} AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(len(grams) AS BIGINT) AS ng,
+                     CAST(len(list_distinct(grams)) AS BIGINT) AS nd
+              FROM g{n})""")
+        cols.append(f"""
+                   CAST(coalesce(t{n}.cnt, 0) AS BIGINT) AS top{n}gram_count,
+                   (coalesce(t{n}.cnt, 0) * coalesce(t{n}.glen, 0) * 1000000)
+                     // greatest(b.nc, 1) AS top{n}gram_frac_e6,
+                   ((d{n}.ng - d{n}.nd) * 1000000)
+                     // greatest(d{n}.ng, 1) AS dup{n}gram_frac_e6""")
+    joins = "\n".join(
+        f"            LEFT JOIN t{n} ON t{n}.doc_id = b.doc_id\n"
+        f"            JOIN d{n} ON d{n}.doc_id = b.doc_id" for n in ns)
+    return f"""
+            WITH base AS MATERIALIZED (
+              SELECT doc_id, l,
+                     CAST(length(array_to_string(l, ' ')) AS BIGINT) AS nc
+              FROM (SELECT doc_id, {_TOKENS} AS l FROM documents)),
+            {','.join(ctes)}
+            SELECT b.doc_id,
+                   CAST(len(b.l) AS BIGINT) AS n_words,
+                   {','.join(cols)}
+            FROM base b
+{joins}
+        """
+
+
 def _stride_pairs_sql() -> str:
     """The verify-kernel anchor's oracle body (string-shingle exact
     Jaccard over the stride pair set), factored out so the CC anchor
@@ -960,6 +1027,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         """,
         "lang_guess": _lang_sql(),
+        "repetition_stats": _repetition_sql(),
         "fingerprint": """
             SELECT doc_id,
                    list_reduce(

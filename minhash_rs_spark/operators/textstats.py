@@ -122,3 +122,81 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
         % F.lit(MOD_P))
     return docs.select(F.col(id_col), fp.alias("fingerprint"),
                        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("fp_len"))
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams (WITH multiplicity — repetition
+    signals need counts, unlike decontam's distinct grams); empty
+    array when the doc has < n words."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "))
+    return F.when(F.size(words) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     ns: tuple[int, ...] = (2, 3, 4)) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 "repetition removal", adapted to word n-grams because this
+    corpus has no line structure). Per document and per n in `ns`:
+
+    - top{n}gram_count: multiplicity of the most frequent word n-gram
+      (ties -> lexicographically smallest gram; 0 when < n words);
+    - top{n}gram_frac_e6: characters covered by that gram's occurrences
+      (count * len(gram), space-joined) over the NORMALIZED text length
+      (tokens joined by single spaces — whitespace-run-invariant),
+      integer micro-units;
+    - dup{n}gram_frac_e6: fraction of n-gram instances that are repeats
+      of an earlier instance, i.e. (total - distinct) / total.
+
+    Scale shape: pure per-row array expressions — the most-frequent
+    gram comes from one fold over the SORTED gram array (run-length
+    max; strict > keeps the first = smallest max run), so there is NO
+    explode, NO groupBy, NO shuffle: embarrassingly parallel over doc
+    partitions at any corpus size, and Catalyst prunes the scan to
+    (id, text). Exact integer micro-units so the DuckDB oracle
+    (unnest + group + window argmax) matches value-for-value.
+    """
+    words = _tokens(F.col(text_col))
+    n_chars_norm = F.length(F.array_join(words, " ")).cast("long")
+    base = docs.select(F.col(id_col), words.alias("_w"),
+                       n_chars_norm.alias("_nc"))
+    sel = [F.col(id_col), F.size("_w").cast("long").alias("n_words")]
+    for n in ns:
+        grams = _word_ngrams(F.col("_w"), n)
+        srt = F.array_sort(grams)
+        zero = F.lit(0).cast("long")
+        acc0 = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                        zero.alias("best"), F.lit("").alias("bg"))
+        def step(acc, g):
+            run = F.when(g == acc["prev"], acc["run"] + 1) \
+                   .otherwise(F.lit(1).cast("long"))
+            better = run > acc["best"]
+            return F.struct(
+                g.alias("prev"), run.alias("run"),
+                F.when(better, run).otherwise(acc["best"]).alias("best"),
+                F.when(better, g).otherwise(acc["bg"]).alias("bg"))
+        top = F.aggregate(srt, acc0, step)
+        n_grams = F.size(grams).cast("long")
+        n_dist = F.size(F.array_distinct(grams)).cast("long")
+        sel += [
+            top["best"].alias(f"_cnt{n}"),
+            F.length(top["bg"]).cast("long").alias(f"_glen{n}"),
+            n_grams.alias(f"_ng{n}"),
+            n_dist.alias(f"_nd{n}"),
+        ]
+    mid = base.select(*sel, F.col("_nc"))
+    # integer `div` (not float / + cast) so micro-unit ratios are exact
+    # floor division, bit-identical to DuckDB's `//` on BIGINTs
+    out = [F.col(id_col), F.col("n_words")]
+    for n in ns:
+        out += [
+            F.col(f"_cnt{n}").alias(f"top{n}gram_count"),
+            F.expr(f"(_cnt{n} * _glen{n} * 1000000) div greatest(_nc, 1)")
+            .alias(f"top{n}gram_frac_e6"),
+            F.expr(f"((_ng{n} - _nd{n}) * 1000000) div greatest(_ng{n}, 1)")
+            .alias(f"dup{n}gram_frac_e6"),
+        ]
+    return mid.select(*out)

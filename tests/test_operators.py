@@ -247,6 +247,46 @@ def test_textstats_golden(spark):
     assert fp[5] == expect
 
 
+def test_repetition_stats_vs_bruteforce(spark):
+    from collections import Counter
+
+    from minhash_rs_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "a b a b a b a b"),          # dominant 2-gram "a b"
+        (2, "x y z"),                     # 3 words: no 4-grams
+        (3, ""),                          # empty
+        (4, "solo"),                      # 1 word: no grams at all
+        (5, "b a b a a b a b"),           # tie counts -> smallest gram
+        (6, "one  two\tone two   one"),   # whitespace runs normalize
+        (7, "q w e r t y u i o p q w e r t"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+    for doc_id, text in rows:
+        words = [w for w in text.lower().split() if w]
+        nc = len(" ".join(words))
+        assert got[doc_id]["n_words"] == len(words)
+        for n in (2, 3, 4):
+            grams = [" ".join(words[i:i + n])
+                     for i in range(len(words) - n + 1)] \
+                if len(words) >= n else []
+            if grams:
+                cnt = Counter(grams)
+                best = max(cnt.values())
+                bg = min(g for g, c in cnt.items() if c == best)
+            else:
+                best, bg = 0, ""
+            r = got[doc_id]
+            assert r[f"top{n}gram_count"] == best, (doc_id, n)
+            assert r[f"top{n}gram_frac_e6"] == \
+                best * len(bg) * 1_000_000 // max(nc, 1), (doc_id, n)
+            assert r[f"dup{n}gram_frac_e6"] == \
+                (len(grams) - len(set(grams))) * 1_000_000 \
+                // max(len(grams), 1), (doc_id, n)
+
+
 # ---- similarity ----
 
 def test_similarity_topk_and_lsh_recall(spark):
