@@ -186,6 +186,41 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _plant_pii(docs):
+    """Deterministically append PII tokens to a doc_id-keyed subset —
+    the corpus itself has none, so the gate plants its own (same
+    self-contained trick as decontam_ngram's benchmark split). Mirrored
+    verbatim in the oracle SQL."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return docs.select("doc_id", F.concat(
+        F.coalesce("text", F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" reach me at user"), s(d),
+                                    F.lit("@example.com now")))
+         .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" ssn 123-45-6789 noted"))
+         .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" call 415-555-"),
+                                    F.lpad(s(d % 10000), 4, "0")))
+         .otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.concat(F.lit(" host 10.0."), s(d % 256),
+                                     F.lit("."), s((d * 7) % 256),
+                                     F.lit(" up")))
+         .otherwise(F.lit("")),
+    ).alias("text"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact over documents with planted PII: per-kind
+    counts on the original text, md5 of the sequentially redacted text
+    (order EMAIL->SSN->PHONE->IPV4, fixed in operators/pii.py)."""
+    from minhash_rs_spark.operators.pii import pii_stats
+
+    out = pii_stats(_plant_pii(_docs(spark, sf_dir)))
+    return out.select("doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+                      "n_pii", F.md5("redacted").alias("redacted_md5"))
+
+
 def q_doc_assembly_roundtrip(spark, sf_dir):
     """G1 gate: chunk documents into turns, reassemble with the engine's
     doc-assembly operator; oracle reassembles with string_agg ORDER BY."""
@@ -723,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": q_lang_guess,
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "doc_assembly_roundtrip": q_doc_assembly_roundtrip,
         "containment_pairs": q_containment_pairs,
         "cc_size_histogram": q_cc_size_histogram,
@@ -869,6 +905,48 @@ def _cc_assign_sql(edges_cte: str) -> str:
                    CAST(row_number() OVER (PARTITION BY cc ORDER BY did)
                         - 1 AS BIGINT) AS cc_idx
             FROM asg"""
+
+
+def _pii_sql() -> str:
+    """Oracle twin of q_pii_scrub: identical planted text (built with
+    the same CASE/lpad arithmetic), identical Java/RE2 common-subset
+    patterns (operators/pii.py PII_PATTERNS), counts via
+    len(regexp_extract_all), sequential redaction in the same fixed
+    order, md5 of the result."""
+    from minhash_rs_spark.operators.pii import PII_PATTERNS
+
+    planted = """
+            SELECT doc_id,
+                   lower(coalesce(text, '')
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com now' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' ssn 123-45-6789 noted' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' call 415-555-'
+                                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                                  || ' up' ELSE '' END) AS t
+            FROM documents"""
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{k}"
+        for k, (pat, _) in PII_PATTERNS.items())
+    total = " + ".join(f"len(regexp_extract_all(t, '{pat}'))"
+                       for pat, _ in PII_PATTERNS.values())
+    red = "t"
+    for pat, tag in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return f"""
+            SELECT doc_id,
+                   {counts},
+                   CAST({total} AS BIGINT) AS n_pii,
+                   md5({red}) AS redacted_md5
+            FROM ({planted})
+        """
 
 
 def _repetition_sql(ns: tuple = (2, 3, 4)) -> str:
@@ -1028,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_guess": _lang_sql(),
         "repetition_stats": _repetition_sql(),
+        "pii_scrub": _pii_sql(),
         "fingerprint": """
             SELECT doc_id,
                    list_reduce(

@@ -1,0 +1,73 @@
+"""PII detection and redaction over a text column (task brief:
+training-data curation needs a scrub pass before anything ships to a
+trainer). Reference has no PII surface; this is a first-class addition
+in the spirit of its per-line predicates (`/root/reference/src/main.rs`
+kill-line passes) — a per-document, no-shuffle scan.
+
+Design: pure per-row `pyspark.sql.functions` regexp expressions —
+whole-stage codegen, zero shuffle, embarrassingly parallel at any
+corpus size; Catalyst prunes the scan to (id, text). Patterns are
+deliberately restricted to the syntax subset where Java regex and RE2
+(DuckDB) agree, so the DuckDB oracle replays detection AND redaction
+value-for-value.
+
+Redaction order matters (an SSN also matches the phone pattern's
+digit shape, an IPv4 never matches phone): EMAIL -> SSN -> PHONE ->
+IPV4, fixed here and mirrored in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Java-regex / RE2 common-subset patterns (no backrefs, no lookaround).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+", "<EMAIL>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    "phone": (r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+             "<IPV4>"),
+}
+
+
+def _redact(text: Column) -> Column:
+    out = text
+    for pat, tag in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_stats(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts plus the fully redacted text.
+
+    Counts are taken on the ORIGINAL text (each kind independently,
+    before any replacement), redaction is sequential in PII_PATTERNS
+    order so earlier tags can't be re-matched by later patterns.
+    Output: (id, n_email, n_ssn, n_phone, n_ipv4, n_pii, redacted).
+    """
+    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    counts = {k: F.regexp_count(text, F.lit(pat)).cast("long")
+              for k, (pat, _) in PII_PATTERNS.items()}
+    n_pii = None
+    for c in counts.values():
+        n_pii = c if n_pii is None else n_pii + c
+    return docs.select(
+        F.col(id_col),
+        *[counts[k].alias(f"n_{k}") for k in PII_PATTERNS],
+        n_pii.alias("n_pii"),
+        _redact(text).alias("redacted"))
+
+
+def drop_pii_docs(docs: DataFrame, max_hits: int = 0,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Kill-predicate form: keep only documents with <= max_hits PII
+    matches (the reference's kill-line idiom at document granularity).
+    Returns the original rows, untouched."""
+    stats = pii_stats(docs, id_col=id_col, text_col=text_col) \
+        .select(id_col, "n_pii")
+    return (docs.join(stats, on=id_col, how="inner")
+                .where(F.col("n_pii") <= F.lit(max_hits))
+                .drop("n_pii"))

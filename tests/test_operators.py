@@ -287,6 +287,37 @@ def test_repetition_stats_vs_bruteforce(spark):
                 // max(len(grams), 1), (doc_id, n)
 
 
+def test_pii_stats_and_drop(spark):
+    from minhash_rs_spark.operators.pii import drop_pii_docs, pii_stats
+
+    rows = [
+        (1, "mail me at Bob.Smith+x@Example.COM thanks"),
+        (2, "ssn is 123-45-6789 and phone 415-555-0123"),
+        (3, "server at 192.168.1.254 is up"),
+        (4, "clean document nothing to see"),
+        (5, None),
+        (6, "two mails a@b.io and c.d@e-f.org here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in pii_stats(df).collect()}
+
+    assert got[1]["n_email"] == 1 and got[1]["n_pii"] == 1
+    assert "<EMAIL>" in got[1]["redacted"]
+    assert got[2]["n_ssn"] == 1 and got[2]["n_phone"] == 1
+    # SSN redacted before PHONE can see it: exactly one of each tag
+    assert got[2]["redacted"].count("<SSN>") == 1
+    assert got[2]["redacted"].count("<PHONE>") == 1
+    assert got[3]["n_ipv4"] == 1 and "<IPV4>" in got[3]["redacted"]
+    assert got[4]["n_pii"] == 0 and got[4]["redacted"] == rows[3][1]
+    assert got[5]["n_pii"] == 0 and got[5]["redacted"] == ""
+    assert got[6]["n_email"] == 2
+
+    kept = sorted(r["doc_id"] for r in drop_pii_docs(df).collect())
+    assert kept == [4, 5]
+    # original columns untouched, no stats column leaks through
+    assert set(drop_pii_docs(df).columns) == {"doc_id", "text"}
+
+
 # ---- similarity ----
 
 def test_similarity_topk_and_lsh_recall(spark):
