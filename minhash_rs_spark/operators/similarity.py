@@ -36,22 +36,198 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
                     F.round("cos_sim", 6).alias("cos_sim_r")))
 
 
+def _list_matrix(lst, pa):
+    """Arrow list<float/double> column -> (n, d) numpy matrix in the
+    NATIVE element dtype (bits untouched). Raises on ragged rows."""
+    import numpy as np
+
+    if isinstance(lst, pa.ChunkedArray):  # pragma: no cover
+        lst = lst.combine_chunks()
+    offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = lst.values.to_numpy(zero_copy_only=False)
+    vals = vals[offs[0]:offs[-1]]
+    n = len(offs) - 1
+    if n == 0:
+        return vals.reshape(0, 0)
+    lens = np.diff(offs)
+    if not (lens == lens[0]).all():
+        raise ValueError("ragged embedding lengths in batch")
+    return np.ascontiguousarray(vals.reshape(n, int(lens[0])))
+
+
+def _fold_dots(A, B):
+    """(n, d) x (m, d) -> (n, m) float64 dot products with EXACTLY the
+    JVM cosine_expr arithmetic: per-element product in the native
+    element dtype (float32 for array<float>), then a left-to-right
+    float64 fold over dim — bitwise identical to
+    aggregate(zip_with(a, b, x*y), 0.0D, acc + x), so rank order is
+    inherited from the proven-hash-matching JVM path, not re-derived."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for j in range(A.shape[1]):
+        acc += A[:, j, None] * B[None, :, j]
+    return acc
+
+
+def _fold_norms(A):
+    """sqrt(sum x*x) with the same native-dtype square + float64 fold."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for j in range(A.shape[1]):
+        acc += A[:, j] * A[:, j]
+    return np.sqrt(acc)
+
+
+def _np_sign_bucket(M, n_bits: int):
+    """numpy twin of _sign_bucket: b = fold(b*2 + (x_i >= 0)) over the
+    first n_bits components (NaN compares false on both engines)."""
+    import numpy as np
+
+    b = np.zeros(M.shape[0], dtype=np.int64)
+    for i in range(n_bits):
+        b = b * 2 + (M[:, i] >= 0)
+    return b
+
+
+def _arrow_topk(embeddings: DataFrame, k: int, query_mod: int,
+                id_col: str, vec_col: str,
+                n_bits: int | None = None) -> DataFrame:
+    """Shared scan kernel for brute_force_topk / lsh_topk (guide §4.2):
+    the O(|Q| * N) scoring loop runs as one numpy pass per Arrow batch
+    instead of |Q| * N interpreted JVM higher-order-function calls.
+
+    Shape: the query set (N / query_mod rows) is collected once and
+    closed over (the moral equivalent of the broadcast the old
+    crossJoin plan did); the candidate side is scanned ONCE with
+    mapInArrow emitting only each batch's per-query top-k (plus
+    boundary ties — a candidate tied on cos with the batch's k-th is
+    kept so the global winner by (cos desc, neighbor_id) is never
+    dropped); the final exact rank is a window over the tiny partial
+    set (|Q| * ~k per batch). No shuffle ever carries a vector.
+
+    Float semantics are bitwise-identical to the old cosine_expr plan
+    (_fold_dots/_fold_norms), so the output — and the DuckDB oracle
+    hash — is unchanged. NaN cosines (zero-norm vectors) sort first on
+    both paths (Spark treats NaN as greater than any double; the
+    in-kernel select key maps NaN to +inf)."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    from pyspark.sql import types as T
+
+    import pyarrow as pa
+
+    q_tbl = (embeddings
+             .where(F.pmod(F.col(id_col), F.lit(query_mod)) == 0)
+             .select(F.col(id_col).cast("long").alias("qid"),
+                     F.col(vec_col).alias("qv"))
+             .toArrow())
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("neighbor_id", T.LongType(), False),
+        T.StructField("cos_sim", T.DoubleType(), False),
+    ])
+    if q_tbl.num_rows == 0:
+        partial = spark.createDataFrame([], out_schema)
+        return _ranked_topk(partial, k)
+    qids = q_tbl.column("qid").to_numpy(zero_copy_only=False)
+    Q = _list_matrix(q_tbl.column("qv"), pa)
+    order = np.argsort(qids)
+    qids, Q = qids[order], np.ascontiguousarray(Q[order])
+    qn = _fold_norms(Q)
+    qb = _np_sign_bucket(Q, n_bits) if n_bits is not None else None
+    nq = len(qids)
+    # bound the (|Q| x chunk) float64 temporaries to ~32 MB per worker
+    chunk = max(256, 4_000_000 // max(nq, 1))
+
+    def score_topk(Qs, qns, qidss, Cs, cns, idcs):
+        """Per-(query-slice x candidate-slice) exact scoring + top-k
+        (with boundary ties) selection. Returns (qi, ci, cos)."""
+        cos = _fold_dots(Qs, Cs) / (qns[:, None] * cns[None, :])
+        valid = qidss[:, None] != idcs[None, :]
+        keys = np.where(valid, np.where(np.isnan(cos), np.inf, cos),
+                        -np.inf)
+        m = Cs.shape[0]
+        if m > k:
+            kth = np.partition(keys, m - k, axis=1)[:, m - k]
+            emit = valid & (keys >= kth[:, None])
+        else:
+            emit = valid
+        qi, ci = np.nonzero(emit)
+        return qi, ci, cos
+
+    def fn(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            C = _list_matrix(rb.column(1), pa)
+            for c0 in range(0, n, chunk):
+                Cc = C[c0:c0 + chunk]
+                idc = ids[c0:c0 + chunk]
+                cn = _fold_norms(Cc)
+                if qb is None:
+                    qi, ci, cos = score_topk(Q, qn, qids, Cc, cn, idc)
+                    out_q, out_c = qids[qi], idc[ci]
+                    out_cos = cos[qi, ci]
+                else:
+                    # score only within matching sign buckets: each
+                    # query's candidates all sit in its own bucket, so
+                    # per-bucket scoring is exhaustive and ~2^n_bits
+                    # cheaper than the masked full product
+                    cb = _np_sign_bucket(Cc, n_bits)
+                    chunks_q, chunks_c, chunks_cos = [], [], []
+                    for v in np.unique(qb):
+                        sq = np.flatnonzero(qb == v)
+                        sc = np.flatnonzero(cb == v)
+                        if len(sq) == 0 or len(sc) == 0:
+                            continue
+                        qi, ci, cos = score_topk(
+                            np.ascontiguousarray(Q[sq]), qn[sq], qids[sq],
+                            np.ascontiguousarray(Cc[sc]), cn[sc], idc[sc])
+                        chunks_q.append(qids[sq][qi])
+                        chunks_c.append(idc[sc][ci])
+                        chunks_cos.append(cos[qi, ci])
+                    if not chunks_q:
+                        continue
+                    out_q = np.concatenate(chunks_q)
+                    out_c = np.concatenate(chunks_c)
+                    out_cos = np.concatenate(chunks_cos)
+                if len(out_q) == 0:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_q), pa.array(out_c), pa.array(out_cos)],
+                    names=["query_id", "neighbor_id", "cos_sim"])
+
+    cand = embeddings.select(F.col(id_col).cast("long").alias(id_col),
+                             F.col(vec_col))
+    # scale-adaptive parallelism (guide §2): a small local table arrives
+    # as 1-2 parquet splits, serializing the numpy kernel; spread it
+    # over the cores. At scale input splits >> cores and this is a no-op
+    # (no shuffle of the vector payload).
+    par = spark.sparkContext.defaultParallelism
+    if cand.rdd.getNumPartitions() < par:
+        cand = cand.repartition(par)
+    partial = cand.mapInArrow(fn, out_schema)
+    return _ranked_topk(partial, k)
+
+
 def brute_force_topk(embeddings: DataFrame, k: int = 5,
                      query_mod: int = 50,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k: queries = rows with id % query_mod == 0,
     candidates = all other rows. Output (query_id, neighbor_id, rank,
-    cos_sim_r)."""
-    q = (embeddings.where(F.pmod(F.col(id_col), F.lit(query_mod)) == 0)
-         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("cv"))
-    scored = (q.crossJoin(c)
-              .where(F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "neighbor_id",
-                      cosine_expr(F.col("qv"), F.col("cv")).alias("cos_sim")))
-    return _ranked_topk(scored, k)
+    cos_sim_r).
+
+    Round 7: executed by _arrow_topk (single-scan numpy batch kernel,
+    bitwise-identical floats) — the old crossJoin + per-pair JVM
+    higher-order-function plan spent ~107 s at the driver's sf1.0
+    (20k x 400 pairs through interpreted aggregate/zip_with)."""
+    return _arrow_topk(embeddings, k, query_mod, id_col, vec_col)
 
 
 def _sign_bucket(vec, n_bits: int):
@@ -74,20 +250,14 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 50,
     tunable recall via lsh_pair_recall, bucket sizing guidance in
     cosine_near_dup_pairs' docstring): one fixed axis-aligned table
     has unbounded misses for vectors near axis hyperplanes and no
-    recall knob."""
-    with_bucket = embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        _sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
-    q = (with_bucket.where(F.pmod(F.col(id_col), F.lit(query_mod)) == 0)
-         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                 "bucket"))
-    c = with_bucket.select(F.col(id_col).alias("neighbor_id"),
-                           F.col(vec_col).alias("cv"), "bucket")
-    scored = (q.join(c, "bucket")
-              .where(F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "neighbor_id",
-                      cosine_expr(F.col("qv"), F.col("cv")).alias("cos_sim")))
-    return _ranked_topk(scored, k)
+    recall knob.
+
+    Round 7: same _arrow_topk kernel as brute_force_topk with the
+    bucket-equality mask applied in-batch (_np_sign_bucket is the
+    numpy twin of _sign_bucket; identical >= 0 semantics incl. -0.0
+    and NaN) — replaces the bucket equi-join + per-pair JVM cosine."""
+    return _arrow_topk(embeddings, k, query_mod, id_col, vec_col,
+                       n_bits=n_bits)
 
 
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,

@@ -98,14 +98,20 @@ def main():
     checks.append(("quality_stats fully codegen (no Python eval)",
                    "* " in p and "Python" not in p and "MapInArrow" not in p))
 
-    # 6. similarity topk: query side should be broadcast
+    # 6. similarity topk: round 7 made this a single-scan Arrow kernel
+    # (queries closed over, candidates scanned once, per-batch partial
+    # top-k) — the plan must carry exactly one MapInArrow over the
+    # candidate scan and NO pairwise join of the embedding side at all
     from minhash_rs_spark.operators.similarity import brute_force_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     p = plan_of(brute_force_topk(emb, k=5, query_mod=50))
-    sections.append(("brute_force_topk", p, ["Join"]))
-    checks.append(("topk query side broadcast",
-                   "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p))
+    sections.append(("brute_force_topk", p, ["MapInArrow"]))
+    checks.append(("topk single-scan Arrow kernel, no pairwise join",
+                   len(re.findall(r"MapInArrow \(\d+\)", p)) == 1
+                   and "CartesianProduct" not in p
+                   and "BroadcastNestedLoopJoin" not in p
+                   and "Join" not in p))
 
     # 7. verified-path candidate edges: algebraic aggs, no cartesian
     from minhash_rs_spark.operators.lsh import pair_edges
