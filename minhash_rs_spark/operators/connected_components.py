@@ -28,10 +28,16 @@ def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
 
     Partitioning is EXPLICIT (repartition(n, key)) instead of leaning on
     spark.sql.shuffle.partitions: the hash partitioning on u satisfies
-    both the groupBy distribution and the self-join co-partitioning, so
-    each star op pays exactly two exchanges (head repartition + final
-    dedup) with a partition count sized to the edge set — and nothing
-    mutates session-global state (two pipelines can share a session)."""
+    both the groupBy distribution and the self-join co-partitioning, and
+    nothing mutates session-global state (two pipelines can share a
+    session). Output contract (round 7): oriented src > dst, distinct,
+    and hash-partitioned by src with n_parts partitions — the dedup
+    exchange keys on src ALONE (hash(src) satisfies the (src, dst)
+    clustering requirement, so the aggregate adds no extra exchange)
+    exactly so _small_star_oriented can consume it with ZERO further
+    exchanges (its groupBy/join keys are src). Skew note: rows sharing
+    a src are bounded by that node's degree (one row per (src, m)
+    pair), and the following dedup collapses them."""
     sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
     sym = sym.repartition(n_parts, "u")
@@ -40,25 +46,30 @@ def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
     return (sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-            .repartition(n_parts, "src", "dst").dropDuplicates())
+            .repartition(n_parts, "src").dropDuplicates())
 
 
-def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
-    """For each node u over its smaller neighbors N: attach u and all of N
-    to m = min(N). Same explicit-partitioning scheme as _large_star."""
-    oriented = edges.select(F.greatest("src", "dst").alias("u"),
-                            F.least("src", "dst").alias("v"))
-    oriented = oriented.repartition(n_parts, "u")
+def _small_star_oriented(edges: DataFrame, n_parts: int) -> DataFrame:
+    """For each node u over its smaller neighbors N: attach u and all of
+    N to m = min(N). REQUIRES edges already oriented src > dst (the
+    _large_star output contract); when the input is additionally
+    hash-partitioned by src (as _large_star leaves it) the groupBy and
+    the join both reuse that layout and this op's only exchange is its
+    own final dedup — the old generic _small_star re-oriented with
+    greatest/least (hiding the attribute from the partitioner) and paid
+    a second head repartition every round. Output: oriented src > dst
+    (v > m = min(N(u)) and u > m), distinct, hash(src)-partitioned."""
+    oriented = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     attach_neighbors = (oriented.join(mins, "u")
                         .where(F.col("v") != F.col("m"))
                         .select(F.col("v").alias("src"), F.col("m").alias("dst")))
     attach_center = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
     return (attach_neighbors.union(attach_center)
-            .repartition(n_parts, "src", "dst").dropDuplicates())
+            .repartition(n_parts, "src").dropDuplicates())
 
 
-def _is_star_forest(edges: DataFrame) -> bool:
+def _is_star_forest(edges: DataFrame, n_parts: int) -> bool:
     """Convergence test: the edge set is a forest of stars rooted at
     component minima iff (a) every leaf points at exactly one root
     (no src appears twice) and (b) no node is both a source (leaf) and
@@ -66,22 +77,22 @@ def _is_star_forest(edges: DataFrame) -> bool:
     contraction round that a compare-previous-edge-set fixpoint test
     needs (large+small star are no-ops exactly on star forests).
 
-    ONE driver action: both predicates reduce over a role-tagged node
-    frame — per node, s = #edges it sources and d = whether it is a
-    destination; the forest is broken iff any node has s>1 (two
-    parents) or s>0 ∧ d (leaf that is also a root). The loop formerly
-    ran a .first() aggregate plus an isEmpty probe per round — 2 jobs ×
-    O(log n) rounds of pure driver latency, a serial term that caps
-    N→4N scaling (Amdahl) while the per-round data shrinks."""
-    tagged = edges.select(F.col("src").alias("n"), F.lit(1).alias("s"),
-                          F.lit(0).alias("d")).union(
-        edges.select(F.col("dst").alias("n"), F.lit(0).alias("s"),
-                     F.lit(1).alias("d")))
-    per_node = tagged.groupBy("n").agg(F.sum("s").alias("s"),
-                                       F.max("d").alias("d"))
-    bad = per_node.select(F.max(
-        F.when((F.col("s") > 1) | ((F.col("s") > 0) & (F.col("d") > 0)),
-               F.lit(1)).otherwise(F.lit(0))).alias("bad")).first()["bad"]
+    ONE driver action, ONE exchange (round 7): the round output is
+    hash(src)-partitioned (star-op contract above), so the per-src
+    count for (a) aggregates in place; only the distinct-dst set for
+    (b) is exchanged — explicitly to the same (key, n_parts) layout so
+    the left join is co-partitioned. The old role-tagged union shuffled
+    BOTH projections of the edge set every round — 2 exchanges of pure
+    serial latency per round (the Amdahl term that caps N→4N scaling)."""
+    s_counts = edges.groupBy("src").agg(F.count(F.lit(1)).alias("s"))
+    dsts = (edges.select(F.col("dst").alias("src"))
+            .repartition(n_parts, "src").dropDuplicates()
+            .withColumn("d", F.lit(1)))
+    bad = (s_counts.join(dsts, "src", "left")
+           .select(F.max(
+               F.when((F.col("s") > 1) | F.col("d").isNotNull(),
+                      F.lit(1)).otherwise(F.lit(0))).alias("bad"))
+           .first()["bad"])
     return bad != 1  # None (no edges) is a star forest
 
 
@@ -105,7 +116,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     coalesce (C3: ref src/main.rs:1089-1099 becomes a left join,
     pipeline.py)."""
     spark = edges.sparkSession
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    # canonical orientation at entry (components are orientation-
+    # invariant): _small_star_oriented's zero-exchange round contract
+    # needs src > dst from the first round on
+    e = (edges.select(F.greatest("src", "dst").alias("src"),
+                      F.least("src", "dst").alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct())
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     n_parts = _cc_partitions(
@@ -115,9 +131,9 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
             break
         # lazy checkpoint: the star-forest probe right after is the
         # first action that materializes this round's edge set
-        e = _small_star(_large_star(e, n_parts),
-                        n_parts).localCheckpoint(eager=False)
-        if _is_star_forest(e):
+        e = _small_star_oriented(_large_star(e, n_parts),
+                                 n_parts).localCheckpoint(eager=False)
+        if _is_star_forest(e, n_parts):
             break
     else:
         raise RuntimeError(
