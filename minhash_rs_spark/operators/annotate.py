@@ -46,6 +46,23 @@ def cluster_assignments(docs: DataFrame, cc: DataFrame,
     labeled = (docs.select("conv_id")
                .join(cc, "conv_id", "left")
                .select("conv_id", F.coalesce("cc_id", "conv_id").alias("cc_id")))
+    if (with_idx and n_docs_hint is not None
+            and n_docs_hint <= _CC_IDX_SINGLE_WINDOW_MAX):
+        # fused small-input plan (round 7): cc_size and cc_idx from ONE
+        # cc_id exchange — the count uses the same ordered window spec
+        # with a full-partition frame so both expressions share a single
+        # Window operator, replacing the sizes groupBy + join-back
+        # (2 extra exchanges). Only valid under the hint bound: a
+        # full-frame count window buffers the component in one task,
+        # which the unhinted (unbounded) path below must never do.
+        w = Window.partitionBy("cc_id").orderBy("conv_id")
+        wf = w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+        return (labeled
+                .select("conv_id", "cc_id",
+                        F.count(F.lit(1)).over(wf).alias("cc_size"),
+                        (F.row_number().over(w) - F.lit(1)).cast("int")
+                        .alias("cc_idx")))
     sizes = labeled.groupBy("cc_id").agg(F.count(F.lit(1)).alias("cc_size"))
     out = labeled.join(sizes, "cc_id").select("conv_id", "cc_id", "cc_size")
     if with_idx:

@@ -110,18 +110,30 @@ def _cc_partitions(n_edges: int, current: int) -> int:
     return max(2, min(current, 1 + n_edges // 2_000_000))
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+def connected_components(edges: DataFrame, max_iterations: int = 50,
+                         oriented: bool = False) -> DataFrame:
     """edges (src, dst) -> assignments (conv_id, cc_id), covering every
     node that appears in at least one edge. Singletons are the caller's
     coalesce (C3: ref src/main.rs:1089-1099 becomes a left join,
-    pipeline.py)."""
+    pipeline.py).
+
+    oriented=True: the caller GUARANTEES every edge already satisfies
+    src > dst (true for star_edges / pair_edges / simhash candidate
+    edges and everything verification-filtered from them). Skips the
+    entry re-orientation, whose greatest/least grouping keys otherwise
+    defeat Catalyst's redundant-aggregate elimination and cost an
+    extra exchange when the input is already distinct."""
     spark = edges.sparkSession
     # canonical orientation at entry (components are orientation-
     # invariant): _small_star_oriented's zero-exchange round contract
     # needs src > dst from the first round on
-    e = (edges.select(F.greatest("src", "dst").alias("src"),
-                      F.least("src", "dst").alias("dst"))
-         .where(F.col("src") != F.col("dst")).distinct())
+    if oriented:
+        e = (edges.select("src", "dst")
+             .where(F.col("src") != F.col("dst")).distinct())
+    else:
+        e = (edges.select(F.greatest("src", "dst").alias("src"),
+                          F.least("src", "dst").alias("dst"))
+             .where(F.col("src") != F.col("dst")).distinct())
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     n_parts = _cc_partitions(

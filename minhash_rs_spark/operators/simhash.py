@@ -131,6 +131,8 @@ def simhash_cc(shingles: DataFrame, hamming_threshold: int = 3,
     try:
         edges = simhash_candidate_edges(sigs, num_blocks, pair_cap)
         verified = simhash_verified_edges(edges, sigs, hamming_threshold)
-        return connected_components(verified)
+        # candidate edges are emitted src > dst (pairs, star, sub-star,
+        # chain all orient) and verification only filters
+        return connected_components(verified, oriented=True)
     finally:
         sigs.unpersist()

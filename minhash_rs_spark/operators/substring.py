@@ -286,4 +286,4 @@ def containment_cc(docs: DataFrame, scope: str = "global",
     from pyspark.sql import functions as F
     e = edges.select(F.greatest("src", "dst").alias("src"),
                      F.least("src", "dst").alias("dst"))
-    return connected_components(e)
+    return connected_components(e, oriented=True)

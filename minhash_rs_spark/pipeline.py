@@ -217,7 +217,8 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
     if upto in ("edges", "verified_edges"):
         return PipelineResult(docs, shingles, edges, None, None, cfg)
 
-    cc = ckpt.stage("cc", lambda: connected_components(edges))
+    # star/pair/chain edges all emit src > dst: skip entry re-orientation
+    cc = ckpt.stage("cc", lambda: connected_components(edges, oriented=True))
     if upto == "cc":
         return PipelineResult(docs, shingles, edges, None, None, cfg)
     # assignments need only the conversation-id set (cluster_assignments
