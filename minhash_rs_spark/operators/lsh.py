@@ -140,7 +140,8 @@ def star_edges(sigs: DataFrame, buckets: DataFrame | None = None,
 
 def pair_edges(sigs: DataFrame, buckets: DataFrame | None = None,
                salt_buckets: int = 0, pair_cap: int = 32,
-               sub_salt: int = 16, chain: bool = True) -> DataFrame:
+               sub_salt: int = 16, chain: bool = True,
+               probe_giants: bool = True) -> DataFrame:
     """Candidate edges for the VERIFIED path (jaccard_threshold set).
 
     Rep-anchored star edges are wrong under verification: a pair (b, c)
@@ -170,9 +171,29 @@ def pair_edges(sigs: DataFrame, buckets: DataFrame | None = None,
     All groupBys are algebraic (min) — map-side partials absorb the
     mega-bucket before the shuffle; the join-backs are equi-joins that
     AQE skew-splits.
+
+    probe_giants (round 7): ONE cheap driver probe (`any bucket with
+    cnt > pair_cap?` — an isEmpty over the algebraic bucket aggregate,
+    whose map-side partials reduce it to ~one row per bucket per scan
+    partition) decides at build time whether the giant-bucket branches
+    (star + sub-star + chain) are provably empty. When they are — the
+    overwhelmingly common case at any healthy pair_cap — the returned
+    plan is the all-pairs branch ALONE: identical edge set (the skipped
+    branches only ever emit rows for cnt > pair_cap buckets), ~8 fewer
+    AQE stage-jobs of pure fixed latency per call. When a giant exists
+    the full plan is returned unchanged. Callers that must stay lazy
+    (plan inspection over unpersisted inputs) pass probe_giants=False.
     """
     if buckets is None:
         buckets = lsh_buckets(sigs, salt_buckets)
+    if probe_giants and buckets.where(F.col("cnt") > pair_cap).isEmpty():
+        sm = (sigs.join(buckets.select(*BUCKET_KEY), BUCKET_KEY)
+              .select(*BUCKET_KEY, "conv_id"))
+        return (sm.join(sm.select(*BUCKET_KEY, F.col("conv_id").alias("dst")),
+                        BUCKET_KEY)
+                .where(F.col("conv_id") > F.col("dst"))
+                .select(F.col("conv_id").alias("src"), "dst")
+                .distinct())
     small = buckets.where(F.col("cnt") <= pair_cap).select(*BUCKET_KEY)
     big = buckets.where(F.col("cnt") > pair_cap).select(*BUCKET_KEY, "rep")
 

@@ -63,14 +63,29 @@ def _block_rows(sigs: DataFrame, num_blocks: int) -> DataFrame:
 def simhash_candidate_edges(sigs: DataFrame, num_blocks: int = 4,
                             pair_cap: int = 32,
                             sub_salt: int = 16,
-                            chain: bool = True) -> DataFrame:
+                            chain: bool = True,
+                            probe_giants: bool = True) -> DataFrame:
     """Candidate edges over pigeonhole blocks: all pairs for small block
-    groups, star + salted sub-star for giant ones (see module doc)."""
+    groups, star + salted sub-star for giant ones (see module doc).
+
+    probe_giants: same round-7 build-time probe as lsh.pair_edges —
+    when no block group exceeds pair_cap (one cheap isEmpty over the
+    algebraic group aggregate), the giant-group branches are provably
+    empty and the returned plan is the all-pairs branch alone
+    (identical edge set, ~8 fewer fixed-latency stage-jobs)."""
     blocks = _block_rows(sigs, num_blocks)
     groups = (blocks.groupBy(*BLOCK_KEY)
               .agg(F.min("conv_id").alias("rep"),
                    F.count(F.lit(1)).alias("cnt"))
               .where(F.col("cnt") > 1))
+
+    if probe_giants and groups.where(F.col("cnt") > pair_cap).isEmpty():
+        sm = blocks.join(groups.select(*BLOCK_KEY), BLOCK_KEY)
+        return (sm.join(sm.select(*BLOCK_KEY, F.col("conv_id").alias("dst")),
+                        BLOCK_KEY)
+                .where(F.col("conv_id") > F.col("dst"))
+                .select(F.col("conv_id").alias("src"), "dst")
+                .distinct())
 
     small = groups.where(F.col("cnt") <= pair_cap).select(*BLOCK_KEY)
     big = groups.where(F.col("cnt") > pair_cap).select(*BLOCK_KEY, "rep")
