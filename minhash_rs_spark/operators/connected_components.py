@@ -111,7 +111,8 @@ def _cc_partitions(n_edges: int, current: int) -> int:
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 50,
-                         oriented: bool = False) -> DataFrame:
+                         oriented: bool = False,
+                         distinct_input: bool = False) -> DataFrame:
     """edges (src, dst) -> assignments (conv_id, cc_id), covering every
     node that appears in at least one edge. Singletons are the caller's
     coalesce (C3: ref src/main.rs:1089-1099 becomes a left join,
@@ -122,12 +123,23 @@ def connected_components(edges: DataFrame, max_iterations: int = 50,
     edges and everything verification-filtered from them). Skips the
     entry re-orientation, whose greatest/least grouping keys otherwise
     defeat Catalyst's redundant-aggregate elimination and cost an
-    extra exchange when the input is already distinct."""
+    extra exchange when the input is already distinct.
+
+    distinct_input=True (requires oriented=True): the caller ALSO
+    guarantees no duplicate (src, dst) rows and no self-loops — true
+    for the pipeline paths, whose edge generators end in .distinct()
+    (verification only filters) — so the entry skips its dedup
+    aggregation entirely: one full exchange less per CC call.
+    Duplicates would only cost round-1 shuffle bytes, never
+    correctness, but the guarantee keeps the probe's per-src counts
+    meaningful on round outputs, which dedup themselves anyway."""
     spark = edges.sparkSession
     # canonical orientation at entry (components are orientation-
     # invariant): _small_star_oriented's zero-exchange round contract
     # needs src > dst from the first round on
-    if oriented:
+    if oriented and distinct_input:
+        e = edges.select("src", "dst")
+    elif oriented:
         e = (edges.select("src", "dst")
              .where(F.col("src") != F.col("dst")).distinct())
     else:

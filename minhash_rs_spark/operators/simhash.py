@@ -148,6 +148,7 @@ def simhash_cc(shingles: DataFrame, hamming_threshold: int = 3,
         verified = simhash_verified_edges(edges, sigs, hamming_threshold)
         # candidate edges are emitted src > dst (pairs, star, sub-star,
         # chain all orient) and verification only filters
-        return connected_components(verified, oriented=True)
+        return connected_components(verified, oriented=True,
+                                    distinct_input=True)
     finally:
         sigs.unpersist()

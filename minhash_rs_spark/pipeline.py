@@ -218,7 +218,8 @@ def run_minhash(spark: SparkSession, turns: DataFrame,
         return PipelineResult(docs, shingles, edges, None, None, cfg)
 
     # star/pair/chain edges all emit src > dst: skip entry re-orientation
-    cc = ckpt.stage("cc", lambda: connected_components(edges, oriented=True))
+    cc = ckpt.stage("cc", lambda: connected_components(
+        edges, oriented=True, distinct_input=True))
     if upto == "cc":
         return PipelineResult(docs, shingles, edges, None, None, cfg)
     # assignments need only the conversation-id set (cluster_assignments
