@@ -318,6 +318,20 @@ def test_pii_stats_and_drop(spark):
     assert set(drop_pii_docs(df).columns) == {"doc_id", "text"}
 
 
+def test_drop_pii_docs_plan_has_no_join_or_exchange(spark):
+    """Round-7 inline-filter form (VERDICT r6 #3): the kill predicate is
+    a pure per-row expression — the plan must be a single filtered scan,
+    never the old self-join (which doubled the corpus scan and added an
+    exchange at 100 TB)."""
+    from minhash_rs_spark.operators.pii import drop_pii_docs
+
+    df = spark.createDataFrame([(1, "a@b.io"), (2, "clean")],
+                               ["doc_id", "text"])
+    plan = drop_pii_docs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
 # ---- similarity ----
 
 def test_similarity_topk_and_lsh_recall(spark):

@@ -135,6 +135,15 @@ def main():
                    "CartesianProduct" not in p
                    and "BroadcastNestedLoopJoin" not in p))
 
+    # 8b. drop_pii_docs: inline per-row kill predicate (VERDICT r6 #3) —
+    # no self-join, no exchange, pure filtered scan
+    from minhash_rs_spark.operators.pii import drop_pii_docs
+
+    p = plan_of(drop_pii_docs(docs_raw))
+    sections.append(("drop_pii_docs (inline kill predicate)", p, ["Filter"]))
+    checks.append(("drop_pii_docs has no join and no exchange",
+                   "Join" not in p and "Exchange" not in p))
+
     # 9. distributed containment: shuffle by fingerprint, no coalesce(1)
     from minhash_rs_spark.operators.substring import containment_edges
 
