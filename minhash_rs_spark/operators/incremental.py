@@ -79,7 +79,17 @@ def dup_against_corpus(new_sigs: DataFrame, old_sigs: DataFrame,
 
     _salt = F.pmod(F.xxhash64("conv_id"), F.lit(64))
     wsalt = Window.partitionBy(*_BUCKET, "_s").orderBy("conv_id")
+    # dedup (bucket, conv_id) BEFORE the rank filter (ADVICE r6 #1): a
+    # conv_id present twice in history (re-ingested doc, unioned
+    # generations) would otherwise consume two of the old_cap rank
+    # slots and silently evict a true candidate. The explicit
+    # (bucket, salt) repartition is shared by the dedup aggregate
+    # (its keys are a superset of the partitioning) AND the window, so
+    # the fix costs zero extra exchanges; _s is a function of conv_id,
+    # making the wider dedup key equivalent to (bucket, conv_id).
     phase1 = (old_sigs.withColumn("_s", _salt)
+              .repartition(*_BUCKET, "_s")
+              .dropDuplicates([*_BUCKET, "_s", "conv_id"])
               .withColumn("_r", F.row_number().over(wsalt))
               .where(F.col("_r") <= old_cap))
     old_members = (phase1.groupBy(*_BUCKET)
@@ -247,6 +257,27 @@ def compact_history(spark: SparkSession, cfg: MinHashConfig,
              for t in tokens]
     out = CheckpointManager(spark, cfg.checkpoint_dir,
                             config_fingerprint(cfg, out_token))
+    # guard against silent stale resume (ADVICE r6 #3): the checkpoint
+    # fingerprint derives from (cfg, out_token) only — readers address
+    # the compaction by out_token, so the input list CANNOT go into the
+    # fingerprint. Instead the sorted input tokens are recorded in the
+    # manifest on first commit; a re-run under the same out_token with
+    # a DIFFERENT token list (e.g. a grown chain) raises instead of
+    # resuming a compaction that silently misses the new generations.
+    wanted = sorted(tokens)
+    recorded = [r.get("compact_inputs") for r in out._manifest_rows()
+                if r.get("fingerprint") == out.fingerprint
+                and r.get("stage") == "_compact_inputs"]
+    if out.committed("sigs") and recorded and recorded[-1] != wanted:
+        raise ValueError(
+            f"compact_history: out_token {out_token!r} already holds a "
+            f"compaction of {recorded[-1]} but was re-run with {wanted} — "
+            "use a new out_token (or delete the committed compaction) so "
+            "incremental readers never dedup against a stale history")
+    if not recorded:
+        out._append_manifest({"fingerprint": out.fingerprint,
+                              "stage": "_compact_inputs",
+                              "compact_inputs": wanted})
     sigs = reduce(DataFrame.unionByName, [c.table("sigs") for c in ckpts])
     out.stage("sigs", lambda: sigs)
     if all(c.committed("shingles") for c in ckpts):

@@ -1409,6 +1409,59 @@ def test_compact_history_equals_union(spark, tmp_path):
     with _pt.raises(ValueError):
         compact_history(spark, cfg, tokens, "hist_broken")
 
+    # ADVICE r6 #3: re-running an out_token with a GROWN token list must
+    # raise, never silently resume the stale committed compaction
+    compact_history(spark, cfg, tokens[:3], "hist3")
+    with _pt.raises(ValueError):
+        compact_history(spark, cfg, tokens[:4], "hist3")
+    # same-list re-run stays a clean resume
+    assert compact_history(spark, cfg, tokens[:3], "hist3") == "hist3"
+
+
+def test_incremental_old_cap_counts_distinct_history_ids(spark):
+    """ADVICE r6 #1: duplicate (bucket, conv_id) rows in history (the
+    compacted-chain / re-ingested-doc case) must not consume old_cap
+    rank slots. The hazard is salt-local: copies of a small id that
+    shares a salt group with a larger TRUE candidate evict it from the
+    rank filter. Plant exactly that: two ids in the same xxhash64%64
+    salt group, the smaller duplicated past the cap with NON-matching
+    shingles, the larger the only true duplicate — it must survive."""
+    from pyspark.sql import functions as F
+
+    from minhash_rs_spark.operators.incremental import dup_against_corpus
+
+    # find two ids that land in the same salt sub-group
+    cands = [f"h{i:04d}" for i in range(200)]
+    salts = {r["v"]: r["s"] for r in spark.createDataFrame(
+        [(c,) for c in cands], ["v"])
+        .select("v", F.pmod(F.xxhash64("v"), F.lit(64)).alias("s"))
+        .collect()}
+    by_salt: dict[int, list[str]] = {}
+    for v, s in sorted(salts.items()):
+        by_salt.setdefault(s, []).append(v)
+    pair = next(vs for vs in by_salt.values() if len(vs) >= 2)
+    small, big = pair[0], pair[1]
+    assert small < big
+
+    sig_schema = "conv_id string, band_id int, sig_hi long, sig_lo long"
+    old_rows = [(small, 0, 7, 7)] * 3 + [(big, 0, 7, 7)]
+    old_sigs = spark.createDataFrame(old_rows, sig_schema)
+    new_sigs = spark.createDataFrame([("n1", 0, 7, 7)], sig_schema)
+    sh = "conv_id string, shingles array<long>"
+    old_sh = spark.createDataFrame(
+        [(small, [91, 92, 93, 94]),   # disjoint -> fails verification
+         (big, [1, 2, 3, 4])],        # identical -> true duplicate
+        sh)
+    new_sh = spark.createDataFrame([("n1", [1, 2, 3, 4])], sh)
+    out = dup_against_corpus(new_sigs, old_sigs, new_sh, old_sh,
+                             threshold=0.5, old_cap=2)
+    rows = {r["conv_id"]: r for r in out.collect()}
+    # row-counting cap: small's copies fill both slots in the shared
+    # salt group, big is evicted, n1 matches nothing. Distinct-id cap:
+    # candidates = {small, big}; only big verifies.
+    assert "n1" in rows, "true duplicate evicted by duplicate history rows"
+    assert rows["n1"]["matched_old"] == big
+
 
 def test_ivf_topk_recall_and_partition(spark):
     """IVF-flat: (a) on a corpus with planted near-identical twins,
