@@ -405,11 +405,16 @@ def q_shingle_jaccard_pairs(spark, sf_dir):
     set {(doc_id, doc_id+d) : d in _STRIDES = (1,2,4,...,256)} — the
     operator's default is adjacent strides 1..3, but this query runs
     log-spaced strides. Every LSH-derived pair set is
-    kernel-dependent (rows-only at the gate); this one is pure input,
-    so the DuckDB oracle checks the verify kernel's exact integer
-    intersection/union counts value-for-value — the oracle anchor for
-    the rows-only minhash_clusters_verified / true_jaccard_pairs
-    queries. Ref: jaccard_similarity src/main.rs:1673-1677."""
+    kernel-dependent; this one is pure input, so the DuckDB oracle
+    checks the verify kernel's exact integer intersection/union counts
+    value-for-value. (Since round 6 minhash_clusters_verified /
+    true_jaccard_pairs are themselves hash-matched via the UHUGEINT
+    kernel twins — this query remains the direct, pair-level anchor
+    whose candidate set has no LSH dependence at all. Note the r6
+    twins enumerate ALL within-bucket pairs; the engine caps candidate
+    generation in buckets over pair_cap, so on data with giant buckets
+    the two could legitimately diverge — ADVICE r6 #2, no such bucket
+    in the driver fixtures.) Ref: src/main.rs:1673-1677."""
     from minhash_rs_spark.functions.udfs import shingle_sets
     from minhash_rs_spark.operators.verify import stride_pair_jaccards
 
@@ -710,7 +715,8 @@ def q_simhash_clusters(spark, sf_dir):
 def q_true_jaccard_pairs(spark, sf_dir):
     """The reference's `true-jacc` analytics (src/main.rs:1573-1677):
     exact shingle-Jaccard for every intra-cluster pair of the minhash
-    clustering. Kernel-dependent -> rows-only check."""
+    clustering. Hash-matched since round 6 (the UHUGEINT kernel twins
+    replay the shingle chain in DuckDB SQL)."""
     from minhash_rs_spark.functions.udfs import shingle_sets_from_tokens
     from minhash_rs_spark.operators.annotate import cluster_assignments
     from minhash_rs_spark.operators.doc_assembly import assemble_token_docs
@@ -808,9 +814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash_signatures,
         "minhash_clusters": q_minhash_clusters,
         "simhash_clusters": q_simhash_clusters,
-        # non-SQL-expressible: rows-only checks
+        # rows-only (float32-sign / streaming-state nondeterminism)
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "streaming_band_dedup": q_streaming_band_dedup,
+        # hash-matched since round 6 via the same kernel twins
         "minhash_clusters_verified": q_minhash_clusters_verified,
         "true_jaccard_pairs": q_true_jaccard_pairs,
         "media_features": q_media_features,
