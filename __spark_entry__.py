@@ -68,7 +68,9 @@ def _n_docs_meta(sf_dir: str) -> int | None:
             if f.endswith(".parquet"):
                 total += pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
         return total or None
-    except OSError:
+    except Exception:  # noqa: BLE001 — any metadata hiccup (OSError,
+        # ArrowInvalid, nested layouts) must degrade to the scale-safe
+        # distributed plan, never fail the query
         return None
 
 
