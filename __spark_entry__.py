@@ -65,12 +65,18 @@ def _n_docs_meta(sf_dir: str) -> int | None:
             return pq.ParquetFile(p).metadata.num_rows
         total = 0
         for f in os.listdir(p):
+            fp = os.path.join(p, f)
+            if os.path.isdir(fp):
+                # partitioned/nested layout: a top-level-only sum would
+                # UNDERCOUNT, and the hint must be an upper bound —
+                # degrade to the distributed plan instead
+                return None
             if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                total += pq.ParquetFile(fp).metadata.num_rows
         return total or None
     except Exception:  # noqa: BLE001 — any metadata hiccup (OSError,
-        # ArrowInvalid, nested layouts) must degrade to the scale-safe
-        # distributed plan, never fail the query
+        # ArrowInvalid) must degrade to the scale-safe distributed
+        # plan, never fail the query
         return None
 
 

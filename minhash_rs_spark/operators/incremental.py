@@ -274,10 +274,7 @@ def compact_history(spark: SparkSession, cfg: MinHashConfig,
             f"compaction of {recorded[-1]} but was re-run with {wanted} — "
             "use a new out_token (or delete the committed compaction) so "
             "incremental readers never dedup against a stale history")
-    if not recorded:
-        out._append_manifest({"fingerprint": out.fingerprint,
-                              "stage": "_compact_inputs",
-                              "compact_inputs": wanted})
+    fresh = not out.committed("sigs")
     sigs = reduce(DataFrame.unionByName, [c.table("sigs") for c in ckpts])
     out.stage("sigs", lambda: sigs)
     if all(c.committed("shingles") for c in ckpts):
@@ -289,6 +286,17 @@ def compact_history(spark: SparkSession, cfg: MinHashConfig,
             "verified config but some input tokens have no committed "
             "shingles stage — compact from tokens that ran upto='sigs' "
             "with the same verified config")
+    # record the input list only AFTER every stage committed, and only
+    # when THIS run built the compaction (a crash mid-compaction must
+    # leave no record: the half-built out_token then recomputes cleanly
+    # on any retry instead of tripping — or worse, disarming — the
+    # mismatch guard). Pre-guard compactions (committed but unrecorded)
+    # stay unrecorded: fabricating provenance for bytes we didn't build
+    # would legitimize exactly the stale history the guard catches.
+    if fresh and not recorded:
+        out._append_manifest({"fingerprint": out.fingerprint,
+                              "stage": "_compact_inputs",
+                              "compact_inputs": wanted})
     return out_token
 
 

@@ -187,8 +187,13 @@ def pair_edges(sigs: DataFrame, buckets: DataFrame | None = None,
     if buckets is None:
         buckets = lsh_buckets(sigs, salt_buckets)
     if probe_giants and buckets.where(F.col("cnt") > pair_cap).isEmpty():
-        sm = (sigs.join(buckets.select(*BUCKET_KEY), BUCKET_KEY)
-              .select(*BUCKET_KEY, "conv_id"))
+        # the cnt <= pair_cap filter STAYS in the plan: a provable no-op
+        # when the probe's snapshot holds, and the structural quadratic
+        # bound if a nondeterministic/evicted lineage recomputes a
+        # bucket past the cap at execution time (such a bucket then
+        # contributes no pairs at all rather than O(cnt^2) rows)
+        small_now = buckets.where(F.col("cnt") <= pair_cap).select(*BUCKET_KEY)
+        sm = sigs.join(small_now, BUCKET_KEY).select(*BUCKET_KEY, "conv_id")
         return (sm.join(sm.select(*BUCKET_KEY, F.col("conv_id").alias("dst")),
                         BUCKET_KEY)
                 .where(F.col("conv_id") > F.col("dst"))

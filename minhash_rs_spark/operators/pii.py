@@ -38,6 +38,22 @@ def _redact(text: Column) -> Column:
     return out
 
 
+def _pii_counts(text: Column) -> tuple[dict[str, Column], Column]:
+    """(per-kind counts, total) on an already-normalized text column —
+    the single source of truth for both pii_stats and the
+    drop_pii_docs kill predicate (and the DuckDB oracle mirror)."""
+    counts = {k: F.regexp_count(text, F.lit(pat)).cast("long")
+              for k, (pat, _) in PII_PATTERNS.items()}
+    n_pii = None
+    for c in counts.values():
+        n_pii = c if n_pii is None else n_pii + c
+    return counts, n_pii
+
+
+def _norm_text(text_col: str) -> Column:
+    return F.lower(F.coalesce(F.col(text_col), F.lit("")))
+
+
 def pii_stats(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Per-document PII hit counts plus the fully redacted text.
@@ -47,12 +63,8 @@ def pii_stats(docs: DataFrame, id_col: str = "doc_id",
     order so earlier tags can't be re-matched by later patterns.
     Output: (id, n_email, n_ssn, n_phone, n_ipv4, n_pii, redacted).
     """
-    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    counts = {k: F.regexp_count(text, F.lit(pat)).cast("long")
-              for k, (pat, _) in PII_PATTERNS.items()}
-    n_pii = None
-    for c in counts.values():
-        n_pii = c if n_pii is None else n_pii + c
+    text = _norm_text(text_col)
+    counts, n_pii = _pii_counts(text)
     return docs.select(
         F.col(id_col),
         *[counts[k].alias(f"n_{k}") for k in PII_PATTERNS],
@@ -71,10 +83,7 @@ def drop_pii_docs(docs: DataFrame, max_hits: int = 0,
     columns, so the filter is INLINE — the old form re-derived n_pii
     via pii_stats and joined back on id_col, a self-join that doubled
     the corpus scan and added an avoidable exchange at scale. Same
-    rows, zero shuffle, whole-stage codegen like the rest of the file."""
-    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    n_pii = None
-    for pat, _ in PII_PATTERNS.values():
-        c = F.regexp_count(text, F.lit(pat)).cast("long")
-        n_pii = c if n_pii is None else n_pii + c
+    rows, zero shuffle, whole-stage codegen; the predicate shares
+    pii_stats' _pii_counts expression so the two can never desync."""
+    _, n_pii = _pii_counts(_norm_text(text_col))
     return docs.where(n_pii <= F.lit(max_hits))

@@ -80,7 +80,11 @@ def simhash_candidate_edges(sigs: DataFrame, num_blocks: int = 4,
               .where(F.col("cnt") > 1))
 
     if probe_giants and groups.where(F.col("cnt") > pair_cap).isEmpty():
-        sm = blocks.join(groups.select(*BLOCK_KEY), BLOCK_KEY)
+        # cnt <= pair_cap stays in the plan (see lsh.pair_edges): a
+        # no-op when the probe held, the quadratic bound if the lineage
+        # recomputes a group past the cap
+        small_now = groups.where(F.col("cnt") <= pair_cap).select(*BLOCK_KEY)
+        sm = blocks.join(small_now, BLOCK_KEY)
         return (sm.join(sm.select(*BLOCK_KEY, F.col("conv_id").alias("dst")),
                         BLOCK_KEY)
                 .where(F.col("conv_id") > F.col("dst"))

@@ -38,11 +38,19 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
 
 def _list_matrix(lst, pa):
     """Arrow list<float/double> column -> (n, d) numpy matrix in the
-    NATIVE element dtype (bits untouched). Raises on ragged rows."""
+    NATIVE element dtype (bits untouched). Raises on ragged rows and on
+    NULL rows/elements: a null element would silently become NaN in the
+    numpy view and rank FIRST (NaN sorts greatest) where the JVM plan's
+    null cosine ranked LAST — fail loudly instead of diverging."""
     import numpy as np
 
     if isinstance(lst, pa.ChunkedArray):  # pragma: no cover
         lst = lst.combine_chunks()
+    if lst.null_count or lst.values.null_count:
+        raise ValueError(
+            "_arrow_topk: NULL embedding rows/elements are not supported "
+            "(the batch kernel cannot reproduce the JVM null-cosine "
+            "ordering) — filter nulls before calling topk")
     offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     vals = lst.values.to_numpy(zero_copy_only=False)
     vals = vals[offs[0]:offs[-1]]
@@ -139,6 +147,14 @@ def _arrow_topk(embeddings: DataFrame, k: int, query_mod: int,
     qn = _fold_norms(Q)
     qb = _np_sign_bucket(Q, n_bits) if n_bits is not None else None
     nq = len(qids)
+    # executor-side broadcast of the query matrices (not a closure
+    # capture): one torrent distribution instead of re-serializing with
+    # every stage's task binary. Driver memory bound = the query SIDE
+    # (N/query_mod rows x dim) — the same side the old plan collected
+    # for its BroadcastNestedLoopJoin; brute-force topk is documented
+    # as the small/oracle baseline, ann_topk/ivf_topk are the scale
+    # surfaces.
+    bc = spark.sparkContext.broadcast((qids, Q, qn, qb))
     # bound the (|Q| x chunk) float64 temporaries to ~32 MB per worker
     chunk = max(256, 4_000_000 // max(nq, 1))
 
@@ -159,6 +175,7 @@ def _arrow_topk(embeddings: DataFrame, k: int, query_mod: int,
         return qi, ci, cos
 
     def fn(batches):
+        qids, Q, qn, qb = bc.value
         for rb in batches:
             n = rb.num_rows
             if n == 0:

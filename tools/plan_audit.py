@@ -113,10 +113,13 @@ def main():
                    and "BroadcastNestedLoopJoin" not in p
                    and "Join" not in p))
 
-    # 7. verified-path candidate edges: algebraic aggs, no cartesian
+    # 7. verified-path candidate edges: algebraic aggs, no cartesian.
+    # probe_giants=False: audit the FULL giant-bucket plan (the shape
+    # that runs when a bucket exceeds pair_cap) and keep the audit
+    # lazy/data-independent, per pair_edges' plan-inspection guidance
     from minhash_rs_spark.operators.lsh import pair_edges
 
-    p = plan_of(pair_edges(sigs))
+    p = plan_of(pair_edges(sigs, probe_giants=False))
     sections.append(("pair_edges (verified-path candidates)", p,
                      ["HashAggregate"]))
     checks.append(("pair_edges no cartesian product",
